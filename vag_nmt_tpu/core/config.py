@@ -1,0 +1,247 @@
+"""Typed configuration tree + named presets.
+
+The reference drives each language pair with a separate argparse train script
+(SURVEY.md §2 C16, e.g. ``nmt_multimodal_beam_DE.py`` — names unverified, the
+reference mount was empty this session). Here one frozen dataclass tree covers
+model/data/train/decode settings, with presets for the five BASELINE.json
+configs.
+
+LOW-CONF defaults (re-verify against the reference when the mount is populated,
+SURVEY.md Verification Checklist items 2-3, 5, 7): ``vse_margin``,
+``vse_weight``, ``vse_hard_negatives``, ``length_norm_alpha``, dropout sites,
+and the per-preset dims.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Tuple
+
+# Special token ids — fixed across the framework (SURVEY.md C1).
+PAD_ID = 0
+UNK_ID = 1
+SOS_ID = 2
+EOS_ID = 3
+SPECIALS = ("<pad>", "<unk>", "<sos>", "<eos>")
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Architecture of the (VAG-)NMT model (SURVEY.md C4-C10)."""
+
+    src_vocab_size: int = 8000
+    tgt_vocab_size: int = 8000
+    emb_dim: int = 256
+    hidden_dim: int = 256           # encoder hidden per direction; ctx dim = 2*hidden
+    dec_hidden_dim: int = 256       # decoder GRU state size
+    attn_dim: int = 256             # Bahdanau MLP attention inner dim
+    enc_layers: int = 1
+    dropout: float = 0.3
+    tied_readout_embedding: bool = False
+
+    # Visual branch (absent in the text-only NMT baseline, SURVEY.md C5-C7, C9).
+    multimodal: bool = False
+    img_feat_dim: int = 2048        # ResNet-50 pool5 (SURVEY.md C2)
+    shared_dim: int = 512           # shared visual-text embedding space
+    vse_margin: float = 0.1         # max-margin ranking loss margin  [LOW-CONF]
+    vse_weight: float = 0.25        # lambda in L = L_MT + lambda*L_VSE  [LOW-CONF]
+    vse_hard_negatives: bool = False  # VSE++ max-violation vs sum  [LOW-CONF]
+
+    # Numerics. Params stay fp32; activations/matmuls may run bf16 with fp32
+    # accumulation (MXU-native) when compute_dtype == "bfloat16".
+    compute_dtype: str = "float32"
+
+    # Kernel implementation for the GRU scans: "xla" (lax.scan; CPU-safe oracle)
+    # or "pallas" (fused TPU kernel, ops/pallas_gru.py).
+    gru_impl: str = "xla"
+
+    @property
+    def ctx_dim(self) -> int:
+        return 2 * self.hidden_dim
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Corpus + batching settings (SURVEY.md C1-C3)."""
+
+    data_dir: str = ""
+    dataset: str = "multi30k"       # "multi30k" | "ikea" | "toy"
+    src_lang: str = "en"
+    tgt_lang: str = "de"
+    bpe_merges: int = 10000
+    vocab_min_freq: int = 1
+    max_src_len: int = 64
+    max_tgt_len: int = 64
+    batch_size: int = 64            # global batch (split over the data mesh axis)
+    length_buckets: Tuple[int, ...] = (8, 12, 16, 24, 32, 48, 64)
+    shuffle_seed: int = 0
+    feature_file: str = ""          # aligned .npy pool5 matrix (SURVEY.md C2)
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Optimization loop (SURVEY.md C11)."""
+
+    learning_rate: float = 1e-3
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    adam_eps: float = 1e-8
+    grad_clip_norm: float = 1.0
+    lr_decay_factor: float = 0.5    # multiply lr on dev-BLEU plateau
+    lr_decay_patience: int = 3      # evals without improvement before decay
+    early_stop_patience: int = 10   # evals without improvement before stop
+    max_epochs: int = 100
+    eval_every_steps: int = 1000
+    seed: int = 1234
+    checkpoint_dir: str = "checkpoints"
+    keep_last: int = 2
+    resume: bool = False
+
+
+@dataclass(frozen=True)
+class DecodeConfig:
+    """Greedy/beam decoding (SURVEY.md C12)."""
+
+    beam_size: int = 5
+    max_len: int = 64
+    length_norm_alpha: float = 1.0  # score / len**alpha at final ranking [LOW-CONF]
+    decode_batch_size: int = 64
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh axes. data = batch sharding (DP); model = vocab/embedding
+    sharding (TP, used by the scaled preset). PP/EP/SP are N/A for this model
+    family (SURVEY.md §2 'Parallelism strategies')."""
+
+    data_axis: int = -1             # -1: all available devices
+    model_axis: int = 1
+
+
+@dataclass(frozen=True)
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    decode: DecodeConfig = field(default_factory=DecodeConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    name: str = "custom"
+
+    # ---- (de)serialization -------------------------------------------------
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), indent=2)
+
+    @staticmethod
+    def from_dict(d: Dict[str, Any]) -> "Config":
+        def build(cls, sub):
+            fields = {f.name: f for f in dataclasses.fields(cls)}
+            kwargs = {}
+            for k, v in sub.items():
+                if k not in fields:
+                    raise KeyError(f"unknown config key {cls.__name__}.{k}")
+                if isinstance(v, list):
+                    v = tuple(v)
+                kwargs[k] = v
+            return cls(**kwargs)
+
+        return Config(
+            model=build(ModelConfig, d.get("model", {})),
+            data=build(DataConfig, d.get("data", {})),
+            train=build(TrainConfig, d.get("train", {})),
+            decode=build(DecodeConfig, d.get("decode", {})),
+            mesh=build(MeshConfig, d.get("mesh", {})),
+            name=d.get("name", "custom"),
+        )
+
+    @staticmethod
+    def from_json(s: str) -> "Config":
+        return Config.from_dict(json.loads(s))
+
+    def replace(self, **section_updates) -> "Config":
+        """cfg.replace(model={'emb_dim': 512}, name='x') — section-wise update."""
+        new = {}
+        for key, val in section_updates.items():
+            cur = getattr(self, key)
+            if isinstance(val, dict):
+                new[key] = dataclasses.replace(cur, **val)
+            else:
+                new[key] = val
+        return dataclasses.replace(self, **new)
+
+
+def _base(name: str, **sections) -> Config:
+    return Config(name=name).replace(**sections)
+
+
+# The five BASELINE.json configs (verified local; SURVEY.md §6).
+PRESETS: Dict[str, Config] = {
+    # 1. Text-only NMT baseline: 1-layer GRU 256d, Multi30k EN→DE, greedy, CPU-runnable.
+    "m30k_ende_text": _base(
+        "m30k_ende_text",
+        model=dict(multimodal=False, emb_dim=256, hidden_dim=256,
+                   dec_hidden_dim=256, attn_dim=256, enc_layers=1),
+        data=dict(dataset="multi30k", src_lang="en", tgt_lang="de"),
+        decode=dict(beam_size=1),
+    ),
+    # 2. VAG-NMT EN→DE: pool5 features + max-margin grounding loss.
+    "m30k_ende_vag": _base(
+        "m30k_ende_vag",
+        model=dict(multimodal=True, emb_dim=256, hidden_dim=512,
+                   dec_hidden_dim=512, attn_dim=512, enc_layers=1,
+                   shared_dim=512),
+        data=dict(dataset="multi30k", src_lang="en", tgt_lang="de"),
+        decode=dict(beam_size=5),
+    ),
+    # 3. VAG-NMT EN→FR with batched beam search + image-guided decoder init.
+    "m30k_enfr_vag": _base(
+        "m30k_enfr_vag",
+        model=dict(multimodal=True, emb_dim=256, hidden_dim=512,
+                   dec_hidden_dim=512, attn_dim=512, enc_layers=1,
+                   shared_dim=512),
+        data=dict(dataset="multi30k", src_lang="en", tgt_lang="fr"),
+        decode=dict(beam_size=5),
+    ),
+    # 4. IKEA product descriptions: long noisy captions, larger vocab.
+    "ikea_vag": _base(
+        "ikea_vag",
+        model=dict(multimodal=True, emb_dim=256, hidden_dim=512,
+                   dec_hidden_dim=512, attn_dim=512, enc_layers=1,
+                   shared_dim=512, src_vocab_size=16000, tgt_vocab_size=16000),
+        data=dict(dataset="ikea", max_src_len=128, max_tgt_len=128,
+                  bpe_merges=16000,
+                  length_buckets=(16, 32, 48, 64, 96, 128)),
+        decode=dict(beam_size=5, max_len=128),
+    ),
+    # 5. Scaled: 2-layer GRU 512d + shared-embedding retrieval eval on test2017.
+    "m30k_scaled": _base(
+        "m30k_scaled",
+        model=dict(multimodal=True, emb_dim=512, hidden_dim=512,
+                   dec_hidden_dim=512, attn_dim=512, enc_layers=2,
+                   shared_dim=512),
+        data=dict(dataset="multi30k", src_lang="en", tgt_lang="de"),
+        decode=dict(beam_size=5),
+        mesh=dict(model_axis=1),  # raise to enable vocab/embedding TP sharding
+    ),
+    # Tiny CPU-fast config used by tests and toy overfit runs.
+    "toy": _base(
+        "toy",
+        model=dict(multimodal=True, src_vocab_size=64, tgt_vocab_size=64,
+                   emb_dim=32, hidden_dim=32, dec_hidden_dim=32, attn_dim=32,
+                   shared_dim=32, img_feat_dim=64, dropout=0.0),
+        data=dict(dataset="toy", batch_size=16, max_src_len=16, max_tgt_len=16,
+                  length_buckets=(8, 16)),
+        decode=dict(beam_size=3, max_len=16, decode_batch_size=16),
+        train=dict(learning_rate=3e-3, eval_every_steps=200),
+    ),
+}
+
+
+def preset(name: str) -> Config:
+    if name not in PRESETS:
+        raise KeyError(f"unknown preset {name!r}; have {sorted(PRESETS)}")
+    return PRESETS[name]

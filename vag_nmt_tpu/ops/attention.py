@@ -1,0 +1,59 @@
+"""Masked Bahdanau (MLP) attention over encoder states.
+
+The reference's decoder attends dl4mt-style each step (SURVEY.md C8,
+[LOW-CONF on exact variant] — mount empty this session). TPU-first detail:
+the context-side projection ``ctx @ wa`` is hoisted out of the decode loop and
+computed ONCE per sentence (`precompute_ctx_proj`), so each decode step does
+only a (N, H)x(H, A) query projection + VPU tanh + (N, T) reduction."""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vag_nmt_tpu.core.rng import key_for
+
+Params = Dict[str, jnp.ndarray]
+
+NEG_INF = -1e9
+
+
+def init_attention_params(key: jax.Array, ctx_dim: int, query_dim: int,
+                          attn_dim: int, path: str = "attn",
+                          dtype=jnp.float32) -> Params:
+    g = jax.nn.initializers.glorot_uniform()
+    return {
+        "wa": g(key_for(key, path + "/wa"), (ctx_dim, attn_dim), dtype),
+        "ua": g(key_for(key, path + "/ua"), (query_dim, attn_dim), dtype),
+        "ba": jnp.zeros((attn_dim,), dtype),
+        "va": g(key_for(key, path + "/va"), (attn_dim, 1), dtype)[:, 0],
+    }
+
+
+def precompute_ctx_proj(params: Params, ctx: jnp.ndarray) -> jnp.ndarray:
+    """(N, T, C) -> (N, T, A); hoisted out of the decode loop."""
+    return jnp.dot(ctx, params["wa"], preferred_element_type=jnp.float32)
+
+
+def masked_softmax(scores: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Softmax over the last axis with 0/1 mask (pads get exactly 0 weight)."""
+    scores = jnp.where(mask > 0, scores, NEG_INF)
+    return jax.nn.softmax(scores, axis=-1)
+
+
+def bahdanau_attend(
+    params: Params,
+    query: jnp.ndarray,      # (N, Q)
+    ctx: jnp.ndarray,        # (N, T, C)
+    ctx_proj: jnp.ndarray,   # (N, T, A) from precompute_ctx_proj
+    mask: jnp.ndarray,       # (N, T)
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (context vector (N, C), weights (N, T))."""
+    q = jnp.dot(query, params["ua"], preferred_element_type=jnp.float32)
+    e = jnp.tanh(ctx_proj + q[:, None, :] + params["ba"])
+    scores = jnp.einsum("nta,a->nt", e, params["va"])
+    w = masked_softmax(scores, mask)
+    c = jnp.einsum("nt,ntc->nc", w.astype(ctx.dtype), ctx)
+    return c, w
