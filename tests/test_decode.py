@@ -1,0 +1,106 @@
+"""Beam-search properties (SURVEY.md §4): beam=1 ≡ greedy, monotone scores,
+finished-hypothesis freezing."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vag_nmt_tpu.core.config import EOS_ID, PAD_ID, preset
+from vag_nmt_tpu.decode import beam_search, greedy_decode
+from vag_nmt_tpu.models import init_params, prepare_decode
+
+from tests.test_models import make_batch
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = preset("toy")
+    m = cfg.model
+    params = init_params(jax.random.key(0), m)
+    batch = make_batch(cfg, B=6, T=8, seed=3)
+    state = prepare_decode(params, m, batch)
+    return params, m, state
+
+
+def test_beam1_equals_greedy(setup):
+    params, m, state = setup
+    g_toks, g_lens = greedy_decode(params, m, state, max_len=12)
+    res = beam_search(params, m, state, beam_size=1, max_len=12)
+    np.testing.assert_array_equal(np.asarray(res.best_tokens),
+                                  np.asarray(g_toks))
+    np.testing.assert_array_equal(np.asarray(res.best_lengths),
+                                  np.asarray(g_lens))
+
+
+def test_beam_scores_descending(setup):
+    params, m, state = setup
+    res = beam_search(params, m, state, beam_size=4, max_len=12)
+    s = np.asarray(res.scores)
+    assert np.all(np.diff(s, axis=1) <= 1e-6)
+
+
+def test_beam_scores_match_teacher_forced_rescoring(setup):
+    """Every hypothesis's reported score must equal the model's actual
+    log-probability of that token sequence (validates all beam bookkeeping:
+    state gathers, history gathers, finished freezing)."""
+    params, m, state = setup
+    from vag_nmt_tpu.models import decode_step
+
+    res = beam_search(params, m, state, beam_size=3, max_len=10,
+                      length_norm_alpha=0.0)
+    toks = np.asarray(res.tokens)      # (B, K, L)
+    lens = np.asarray(res.lengths)
+    B, K, L = toks.shape
+
+    # Re-score by stepping the decoder with teacher forcing, per hypothesis.
+    for k in range(K):
+        tok = jnp.full((B,), 2, jnp.int32)  # sos
+        s = state.s0
+        total = np.zeros(B)
+        for t in range(L):
+            s, logits = decode_step(params, m, tok, s, state)
+            logp = np.asarray(jax.nn.log_softmax(logits, -1))
+            step_tok = toks[:, k, t]
+            live = t < lens[:, k]
+            total += np.where(live, logp[np.arange(B), step_tok], 0.0)
+            tok = jnp.asarray(step_tok)
+        np.testing.assert_allclose(np.asarray(res.scores[:, k]), total,
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_beam_output_wellformed(setup):
+    params, m, state = setup
+    res = beam_search(params, m, state, beam_size=3, max_len=10)
+    toks = np.asarray(res.tokens)
+    lens = np.asarray(res.lengths)
+    B, K, L = toks.shape
+    assert (lens >= 1).all() and (lens <= 10).all()
+    for b in range(B):
+        for k in range(K):
+            hyp = toks[b, k]
+            n = lens[b, k]
+            # after the hypothesis length: all pad
+            assert (hyp[n:] == PAD_ID).all()
+            # an EOS, if present, is the last real token
+            eos_pos = np.where(hyp == EOS_ID)[0]
+            if len(eos_pos):
+                assert eos_pos[0] == n - 1
+
+
+def test_greedy_tokens_match_manual_argmax_rollout(setup):
+    params, m, state = setup
+    from vag_nmt_tpu.models import decode_step
+
+    toks, lens = greedy_decode(params, m, state, max_len=8)
+    B = state.s0.shape[0]
+    tok = jnp.full((B,), 2, jnp.int32)
+    s = state.s0
+    finished = np.zeros(B, bool)
+    for t in range(8):
+        s, logits = decode_step(params, m, tok, s, state)
+        nxt = np.asarray(jnp.argmax(logits, -1)).astype(np.int32)
+        nxt = np.where(finished, PAD_ID, nxt)
+        np.testing.assert_array_equal(np.asarray(toks[:, t]), nxt)
+        finished |= nxt == EOS_ID
+        tok = jnp.asarray(nxt)

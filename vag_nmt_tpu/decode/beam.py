@@ -1,0 +1,124 @@
+"""Fully on-device batched beam search (SURVEY.md C12, §3.2).
+
+The reference's beam loop keeps hypothesis bookkeeping in host Python with a
+device<->host sync every step — its single biggest perf defect. Here the whole
+search is one `lax.while_loop` with fixed (batch, beam) shapes:
+
+- encode ONCE; context/attention projections are tiled to batch*beam rows and
+  never regathered (beams of a sentence share them);
+- each step: one decoder step over all live rows, top-k over the (beam*vocab)
+  candidate grid, and on-device gathers of state/history by beam index;
+- finished hypotheses emit <pad> at log-prob 0 so they ride along frozen and
+  keep competing in top-k at their final score;
+- the loop exits early when every hypothesis in the batch is finished;
+- final ranking divides by length**alpha (alpha=1.0 default [LOW-CONF — the
+  reference's normalization formula is unverified, mount empty this session]).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from vag_nmt_tpu.core.config import EOS_ID, ModelConfig, PAD_ID, SOS_ID
+from vag_nmt_tpu.models.model import DecodeState, decode_step
+
+NEG_INF = -1e9
+
+
+class BeamResult(NamedTuple):
+    tokens: jnp.ndarray        # (B, K, L) int32, <pad>-padded, best beam first
+    lengths: jnp.ndarray       # (B, K) int32, incl. <eos> when produced
+    scores: jnp.ndarray        # (B, K) fp32 length-normalized scores, descending
+    best_tokens: jnp.ndarray   # (B, L)
+    best_lengths: jnp.ndarray  # (B,)
+
+
+def _tile_rows(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    return jnp.repeat(x, k, axis=0)
+
+
+def beam_search(
+    params: Dict[str, Any],
+    cfg: ModelConfig,
+    state: DecodeState,
+    *,
+    beam_size: int,
+    max_len: int,
+    length_norm_alpha: float = 1.0,
+) -> BeamResult:
+    B = state.s0.shape[0]
+    K = beam_size
+    V = (params["decoder"]["embed"]["table"].shape[0]
+         if cfg.tied_readout_embedding else
+         params["decoder"]["readout"]["w_out"].shape[1])
+
+    tiled = DecodeState(
+        ctx=_tile_rows(state.ctx, K),
+        ctx_proj=_tile_rows(state.ctx_proj, K),
+        src_mask=_tile_rows(state.src_mask, K),
+        s0=_tile_rows(state.s0, K),
+    )
+
+    # Finished rows are forced to continue with <pad> at log-prob 0.
+    pad_row = jnp.full((V,), NEG_INF, jnp.float32).at[PAD_ID].set(0.0)
+
+    def cond(carry):
+        t, _, _, _, _, finished, _ = carry
+        return (t < max_len) & ~jnp.all(finished)
+
+    def body(carry):
+        t, last_tok, s, scores, tokens, finished, lengths = carry
+        s_new, logits = decode_step(params, cfg, last_tok.reshape(-1), s, tiled)
+        logp = jax.nn.log_softmax(logits, axis=-1).reshape(B, K, V)
+        logp = jnp.where(finished[..., None], pad_row, logp)
+
+        flat = (scores[..., None] + logp).reshape(B, K * V)
+        top_scores, idx = jax.lax.top_k(flat, K)       # (B, K)
+        beam_idx = idx // V
+        tok = (idx % V).astype(jnp.int32)
+
+        def sel(x):  # gather (B, K, ...) along beam axis
+            return jnp.take_along_axis(
+                x, beam_idx.reshape(beam_idx.shape + (1,) * (x.ndim - 2)),
+                axis=1)
+
+        s_sel = sel(s_new.reshape(B, K, -1)).reshape(B * K, -1)
+        tokens = sel(tokens)
+        fin_sel = sel(finished[..., None])[..., 0]
+        len_sel = sel(lengths[..., None])[..., 0]
+
+        tokens = tokens.at[:, :, t].set(tok)           # finished rows wrote PAD
+        lengths = jnp.where(fin_sel, len_sel, len_sel + 1)
+        finished = fin_sel | (tok == EOS_ID)
+        return (t + 1, tok, s_sel, top_scores, tokens, finished, lengths)
+
+    init = (
+        jnp.asarray(0, jnp.int32),
+        jnp.full((B, K), SOS_ID, jnp.int32),
+        tiled.s0,
+        # Beam 0 active, others at -inf so identical initial beams don't
+        # flood the first top-k with duplicates.
+        jnp.tile(jnp.asarray([0.0] + [NEG_INF] * (K - 1), jnp.float32), (B, 1)),
+        jnp.full((B, K, max_len), PAD_ID, jnp.int32),
+        jnp.zeros((B, K), bool),
+        jnp.zeros((B, K), jnp.int32),
+    )
+    _, _, _, scores, tokens, finished, lengths = jax.lax.while_loop(
+        cond, body, init)
+
+    norm = jnp.maximum(lengths, 1).astype(jnp.float32) ** length_norm_alpha
+    final_scores = scores / norm
+    order = jnp.argsort(-final_scores, axis=1)
+    tokens = jnp.take_along_axis(tokens, order[..., None], axis=1)
+    lengths = jnp.take_along_axis(lengths, order, axis=1)
+    final_scores = jnp.take_along_axis(final_scores, order, axis=1)
+    return BeamResult(
+        tokens=tokens,
+        lengths=lengths,
+        scores=final_scores,
+        best_tokens=tokens[:, 0],
+        best_lengths=lengths[:, 0],
+    )

@@ -1,0 +1,150 @@
+"""Conditional-GRU attention decoder (SURVEY.md C8).
+
+dl4mt-style two-cell step: GRU1 on the target embedding, masked Bahdanau
+attention queried by the intermediate state, GRU2 on the attention context,
+then a tanh readout -> vocab logits. [LOW-CONF on the reference's exact
+readout (maxout?) — mount empty this session; tanh readout chosen.]
+
+TPU-first details:
+- the GRU1 input gates for ALL target positions are one big time-parallel
+  matmul outside the teacher-forced scan;
+- the attention context projection is precomputed once per sentence;
+- the same `step_from_xgates` body is used by the training scan, greedy
+  decode, and beam search, so train/decode numerics agree by construction;
+- logits accumulate in fp32 regardless of compute dtype.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vag_nmt_tpu.core.config import ModelConfig
+from vag_nmt_tpu.core.rng import key_for
+from vag_nmt_tpu.models.layers import dropout, embed, init_dense, init_embedding
+from vag_nmt_tpu.ops.attention import (
+    bahdanau_attend,
+    init_attention_params,
+    precompute_ctx_proj,
+)
+from vag_nmt_tpu.ops.gru import (
+    gru_cell_from_xgates,
+    gru_gates_from_x,
+    init_gru_params,
+)
+
+
+def init_decoder(key: jax.Array, cfg: ModelConfig) -> Dict[str, Any]:
+    H, C, E, R = cfg.dec_hidden_dim, cfg.ctx_dim, cfg.emb_dim, cfg.emb_dim
+    p: Dict[str, Any] = {
+        "embed": init_embedding(key, cfg.tgt_vocab_size, E, "decoder/embed"),
+        "gru1": init_gru_params(key, E, H, "decoder/gru1"),
+        "attn": init_attention_params(key, C, H, cfg.attn_dim, "decoder/attn"),
+        "gru2": init_gru_params(key, C, H, "decoder/gru2"),
+        "readout": {
+            "wy": init_dense(key, E, R, "decoder/readout/wy")["w"],
+            "ws": init_dense(key, H, R, "decoder/readout/ws")["w"],
+            "wc": init_dense(key, C, R, "decoder/readout/wc")["w"],
+            "b": jnp.zeros((R,), jnp.float32),
+            "b_out": jnp.zeros((cfg.tgt_vocab_size,), jnp.float32),
+        },
+    }
+    if not cfg.tied_readout_embedding:
+        p["readout"]["w_out"] = init_dense(
+            key, R, cfg.tgt_vocab_size, "decoder/readout/w_out")["w"]
+    return p
+
+
+def _out_matrix(params: Dict[str, Any], cfg: ModelConfig) -> jnp.ndarray:
+    if cfg.tied_readout_embedding:
+        return params["embed"]["table"].T  # (E, V)
+    return params["readout"]["w_out"]
+
+
+def step_from_xgates(
+    params: Dict[str, Any],
+    cfg: ModelConfig,
+    y_emb: jnp.ndarray,      # (N, E)
+    xg1: jnp.ndarray,        # (N, 3H) precomputed GRU1 input gates
+    s: jnp.ndarray,          # (N, H)
+    ctx: jnp.ndarray,        # (N, T, C)
+    ctx_proj: jnp.ndarray,   # (N, T, A)
+    src_mask: jnp.ndarray,   # (N, T)
+    readout_drop_mask: Optional[jnp.ndarray] = None,  # (N, R) inverted-dropout
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One decoder step. Returns (s_new (N,H), logits (N,V) fp32, attn (N,T))."""
+    r = params["readout"]
+    s_tilde = gru_cell_from_xgates(params["gru1"], xg1, s)
+    c, w = bahdanau_attend(params["attn"], s_tilde, ctx, ctx_proj, src_mask)
+    s_new = gru_cell_from_xgates(
+        params["gru2"], gru_gates_from_x(params["gru2"], c), s_tilde)
+    t = jnp.tanh(
+        jnp.dot(y_emb, r["wy"], preferred_element_type=jnp.float32)
+        + jnp.dot(s_new, r["ws"], preferred_element_type=jnp.float32)
+        + jnp.dot(c, r["wc"], preferred_element_type=jnp.float32)
+        + r["b"]
+    )
+    if readout_drop_mask is not None:
+        t = t * readout_drop_mask
+    logits = (
+        jnp.dot(t.astype(ctx.dtype), _out_matrix(params, cfg),
+                preferred_element_type=jnp.float32)
+        + r["b_out"]
+    )
+    return s_new, logits.astype(jnp.float32), w
+
+
+def decode_step(
+    params: Dict[str, Any],
+    cfg: ModelConfig,
+    tok: jnp.ndarray,        # (N,) int32 previous tokens
+    s: jnp.ndarray,
+    ctx: jnp.ndarray,
+    ctx_proj: jnp.ndarray,
+    src_mask: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    y = embed(params["embed"], tok).astype(ctx.dtype)
+    xg1 = gru_gates_from_x(params["gru1"], y)
+    return step_from_xgates(params, cfg, y, xg1, s, ctx, ctx_proj, src_mask)
+
+
+def teacher_forced_logits(
+    params: Dict[str, Any],
+    cfg: ModelConfig,
+    tgt_in: jnp.ndarray,     # (B, Tt) int32, starts with <sos>
+    s0: jnp.ndarray,         # (B, H)
+    ctx: jnp.ndarray,        # (B, T, C)
+    src_mask: jnp.ndarray,   # (B, T)
+    *,
+    train: bool = False,
+    rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Logits for every target position: (B, Tt, V) fp32, one fused scan."""
+    B, Tt = tgt_in.shape
+    R = params["readout"]["wy"].shape[1]
+    y = embed(params["embed"], tgt_in).astype(ctx.dtype)       # (B, Tt, E)
+    if train and rng is not None:
+        y = dropout(key_for(rng, "decoder/emb_drop"), y, cfg.dropout, train)
+    xg1 = gru_gates_from_x(params["gru1"], y)                   # (B, Tt, 3H)
+    ctx_proj = precompute_ctx_proj(params["attn"], ctx)
+
+    if train and rng is not None and cfg.dropout > 0:
+        keep = 1.0 - cfg.dropout
+        dm = jax.random.bernoulli(
+            key_for(rng, "decoder/readout_drop"), keep, (B, Tt, R)
+        ).astype(jnp.float32) / keep
+    else:
+        dm = jnp.ones((B, Tt, 1), jnp.float32)
+
+    def step(s, inp):
+        y_t, xg_t, dm_t = inp
+        s_new, logits, _ = step_from_xgates(
+            params, cfg, y_t, xg_t, s, ctx, ctx_proj, src_mask,
+            readout_drop_mask=dm_t)
+        return s_new, logits
+
+    xs = (jnp.swapaxes(y, 0, 1), jnp.swapaxes(xg1, 0, 1), jnp.swapaxes(dm, 0, 1))
+    _, logits = jax.lax.scan(step, s0, xs)
+    return jnp.swapaxes(logits, 0, 1)
