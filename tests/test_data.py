@@ -1,0 +1,170 @@
+"""Data-layer tests (SURVEY.md §4): BPE vs subword-nmt semantics, vocab,
+fixed-shape bucket batching, feature-alignment checks."""
+
+import os
+
+import numpy as np
+import pytest
+
+from vag_nmt_tpu.core.config import EOS_ID, PAD_ID, SOS_ID
+from vag_nmt_tpu.data.batching import BucketBatcher, Example
+from vag_nmt_tpu.data.bpe import BPE, learn_bpe, remove_bpe
+from vag_nmt_tpu.data.features import load_features, save_features
+from vag_nmt_tpu.data.tokenizer import tokenize
+from vag_nmt_tpu.data.vocab import Vocab
+
+
+# ---------------------------------------------------------------------------
+# BPE
+# ---------------------------------------------------------------------------
+
+def test_bpe_learn_merges_most_frequent_pair_first():
+    freqs = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    merges = learn_bpe(freqs, 10)
+    assert len(merges) > 0
+    # ('e','s') and ('s','t</w>') both have freq 9 = newest(6)+widest(3);
+    # the documented deterministic tie-break (lexicographic max) picks the
+    # latter. Either is valid subword-nmt behavior.
+    assert merges[0] in (("e", "s"), ("s", "t</w>"))
+
+
+def test_bpe_apply_roundtrip():
+    lines = [tokenize(s) for s in [
+        "the cat sat on the mat",
+        "the dog sat on the log",
+        "a cat and a dog and a mat",
+    ]]
+    freqs = {}
+    for toks in lines:
+        for t in toks:
+            freqs[t] = freqs.get(t, 0) + 1
+    merges = learn_bpe(freqs, 50)
+    bpe = BPE(merges)
+    for toks in lines:
+        units = bpe.encode_tokens(toks)
+        # every unit either ends a word or carries the @@ continuation
+        assert remove_bpe(units) == toks
+
+
+def test_bpe_unseen_word_segments_to_chars_or_merges():
+    merges = learn_bpe({"hello": 10}, 10)
+    bpe = BPE(merges)
+    units = bpe.encode_tokens(["goodbye"])
+    assert remove_bpe(units) == ["goodbye"]
+
+
+def test_bpe_save_load_roundtrip(tmp_path):
+    merges = learn_bpe({"abab": 4, "abc": 2}, 5)
+    bpe = BPE(merges)
+    p = str(tmp_path / "bpe.json")
+    bpe.save(p)
+    bpe2 = BPE.load(p)
+    assert bpe2.merges == bpe.merges
+    assert bpe2.encode_tokens(["ababc"]) == bpe.encode_tokens(["ababc"])
+
+
+# ---------------------------------------------------------------------------
+# Vocab
+# ---------------------------------------------------------------------------
+
+def test_vocab_specials_and_ordering():
+    v = Vocab.build([["b", "a", "a"], ["a", "c"]])
+    assert v.itos[:4] == ["<pad>", "<unk>", "<sos>", "<eos>"]
+    # by frequency desc, ties lexicographic
+    assert v.itos[4:] == ["a", "b", "c"]
+    assert v.encode(["a", "zzz"]) == [4, 1]  # unk
+    assert v.decode([4, 5, EOS_ID, PAD_ID]) == ["a", "b"]
+
+
+def test_vocab_max_size_and_min_freq(tmp_path):
+    v = Vocab.build([["a"] * 5 + ["b"] * 3 + ["c"]], min_freq=2, max_size=6)
+    assert len(v) == 6
+    assert "c" not in v.stoi
+    p = str(tmp_path / "v.json")
+    v.save(p)
+    assert Vocab.load(p).itos == v.itos
+
+
+# ---------------------------------------------------------------------------
+# Batching
+# ---------------------------------------------------------------------------
+
+def _examples(n, seed=0, with_img=False, img_dim=8):
+    rng = np.random.RandomState(seed)
+    out = []
+    for i in range(n):
+        L = rng.randint(2, 14)
+        Lt = rng.randint(2, 14)
+        img = rng.randn(img_dim).astype(np.float32) if with_img else None
+        out.append(Example(src=list(rng.randint(4, 50, L)),
+                           tgt=list(rng.randint(4, 50, Lt)),
+                           img=img, index=i))
+    return out
+
+
+def test_batch_shapes_fixed_and_from_bucket_set():
+    exs = _examples(57)
+    b = BucketBatcher(exs, batch_size=8, src_buckets=(8, 16))
+    shapes = set()
+    n_rows = 0
+    for batch in b.epoch(0):
+        assert batch["src"].shape[0] == 8           # always full batch dim
+        assert batch["src"].shape[1] in (8, 16)
+        assert batch["tgt_in"].shape == batch["tgt_out"].shape
+        shapes.add((batch["src"].shape, batch["tgt_in"].shape))
+        n_rows += int(batch["sample_mask"].sum())
+    assert n_rows == 57                              # every example exactly once
+    assert len(shapes) <= 4                          # small fixed shape set
+
+
+def test_batch_content_and_masks():
+    ex = Example(src=[5, 6, 7], tgt=[10, 11], index=3)
+    b = BucketBatcher([ex], batch_size=2, src_buckets=(4,), tgt_buckets=(6,))
+    batch = next(iter(b.epoch(0, shuffle=False)))
+    np.testing.assert_array_equal(batch["src"][0], [5, 6, 7, PAD_ID])
+    np.testing.assert_array_equal(batch["src_mask"][0], [1, 1, 1, 0])
+    np.testing.assert_array_equal(batch["tgt_in"][0, :4],
+                                  [SOS_ID, 10, 11, PAD_ID])
+    np.testing.assert_array_equal(batch["tgt_out"][0, :4],
+                                  [10, 11, EOS_ID, PAD_ID])
+    np.testing.assert_array_equal(batch["tgt_mask"][0, :4], [1, 1, 1, 0])
+    # padded row is fully dead
+    assert batch["sample_mask"][1] == 0.0
+    assert batch["src_mask"][1].sum() == 0
+    assert batch["index"][0] == 3
+
+
+def test_batcher_epoch_shuffle_is_deterministic_and_varies_by_epoch():
+    exs = _examples(40)
+    b = BucketBatcher(exs, batch_size=8, src_buckets=(16,), seed=7)
+    order0a = [batch["index"].tolist() for batch in b.epoch(0)]
+    order0b = [batch["index"].tolist() for batch in b.epoch(0)]
+    order1 = [batch["index"].tolist() for batch in b.epoch(1)]
+    assert order0a == order0b
+    assert order0a != order1
+
+
+def test_batcher_includes_images_when_asked():
+    exs = _examples(5, with_img=True, img_dim=8)
+    b = BucketBatcher(exs, batch_size=4, src_buckets=(16,),
+                      include_image=True, img_dim=8)
+    batch = next(iter(b.epoch(0, shuffle=False)))
+    assert batch["img"].shape == (4, 8)
+    assert np.abs(batch["img"][:3]).sum() > 0
+
+
+# ---------------------------------------------------------------------------
+# Feature alignment (SURVEY.md §3.4 silent-corruption hazard)
+# ---------------------------------------------------------------------------
+
+def test_feature_alignment_checks(tmp_path):
+    feats = np.random.RandomState(0).randn(3, 4).astype(np.float32)
+    lines = ["a b", "c d", "e f"]
+    p = str(tmp_path / "f.npy")
+    save_features(p, feats, corpus_lines=lines)
+    got = load_features(p, expected_rows=3, corpus_lines=lines)
+    np.testing.assert_allclose(np.asarray(got), feats)
+    with pytest.raises(ValueError):
+        load_features(p, expected_rows=2)
+    with pytest.raises(ValueError):
+        load_features(p, expected_rows=3, corpus_lines=["x", "y", "z"])

@@ -1,0 +1,116 @@
+"""Integration tests (SURVEY.md §4): toy-corpus overfit on CPU, checkpoint
+round-trip + bit-exact resume, and DP-mesh equivalence."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vag_nmt_tpu.core.config import preset
+from vag_nmt_tpu.data.batching import BucketBatcher
+from vag_nmt_tpu.data.datasets import make_toy_examples, toy_vocab
+from vag_nmt_tpu.decode.translate import translate_corpus
+from vag_nmt_tpu.evaluation.bleu import corpus_bleu
+from vag_nmt_tpu.parallel.sharding import make_mesh
+from vag_nmt_tpu.train.checkpoint import (
+    has_checkpoint,
+    load_checkpoint,
+    save_checkpoint,
+)
+from vag_nmt_tpu.train.state import create_train_state
+from vag_nmt_tpu.train.step import make_train_step
+from vag_nmt_tpu.utils.pytree import tree_allclose
+
+
+@pytest.fixture(scope="module")
+def toy_cfg():
+    return preset("toy")
+
+
+def _run_steps(cfg, exs, n_steps, state=None, mesh=None):
+    if state is None:
+        state = create_train_state(jax.random.key(cfg.train.seed), cfg)
+    batcher = BucketBatcher(
+        exs, cfg.data.batch_size, cfg.data.length_buckets,
+        seed=cfg.data.shuffle_seed, include_image=cfg.model.multimodal,
+        img_dim=cfg.model.img_feat_dim)
+    example_batch = next(iter(batcher.epoch(0)))
+    step_fn, state_sh = make_train_step(cfg, mesh, state, example_batch)
+    if state_sh is not None:
+        state = jax.device_put(state, state_sh)
+    rng = jax.random.key(cfg.train.seed + 1)
+    losses = []
+    done = False
+    for epoch in range(1000):
+        for batch in batcher.epoch(epoch):
+            state, aux = step_fn(state, batch, rng)
+            losses.append(float(aux["loss"]))
+            if len(losses) >= n_steps:
+                done = True
+                break
+        if done:
+            break
+    return state, losses
+
+
+def test_toy_overfit_loss_drops_and_bleu_high(toy_cfg):
+    exs = make_toy_examples(64, seed=0, img_dim=toy_cfg.model.img_feat_dim)
+    state, losses = _run_steps(toy_cfg, exs, 340)
+    assert losses[-1] < 0.3, f"no overfit: final loss {losses[-1]:.3f}"
+    assert losses[-1] < losses[0] / 8
+
+    # Greedy-decode the training set back out; the copy-reverse task should be
+    # (nearly) solved, so corpus BLEU should be very high.
+    vocab = toy_vocab()
+    hyps, stats = translate_corpus(
+        state.params, toy_cfg, exs, vocab, beam_size=1, de_bpe=False)
+    refs = [" ".join(vocab.itos[t] for t in ex.tgt) for ex in exs]
+    bleu = corpus_bleu(hyps, refs)
+    assert bleu.bleu > 85.0, f"BLEU {bleu.bleu:.1f}\n{hyps[:3]}\n{refs[:3]}"
+    assert stats["sentences"] == 64
+
+
+def test_beam_decode_at_least_matches_greedy_on_overfit(toy_cfg):
+    exs = make_toy_examples(32, seed=1, img_dim=toy_cfg.model.img_feat_dim)
+    state, _ = _run_steps(toy_cfg, exs, 180)
+    vocab = toy_vocab()
+    refs = [" ".join(vocab.itos[t] for t in ex.tgt) for ex in exs]
+    g, _ = translate_corpus(state.params, toy_cfg, exs, vocab, beam_size=1,
+                            de_bpe=False)
+    b, _ = translate_corpus(state.params, toy_cfg, exs, vocab, beam_size=3,
+                            de_bpe=False)
+    assert corpus_bleu(b, refs).bleu >= corpus_bleu(g, refs).bleu - 1.0
+
+
+def test_checkpoint_roundtrip_and_bitexact_resume(toy_cfg, tmp_path):
+    exs = make_toy_examples(32, seed=2, img_dim=toy_cfg.model.img_feat_dim)
+    # run 6 steps, checkpoint, run 4 more
+    state6, _ = _run_steps(toy_cfg, exs, 6)
+    save_checkpoint(str(tmp_path), "last", state6, {"epoch": 0})
+    assert has_checkpoint(str(tmp_path), "last")
+
+    template = create_train_state(jax.random.key(toy_cfg.train.seed), toy_cfg)
+    restored, meta = load_checkpoint(str(tmp_path), "last", template)
+    assert int(restored.step) == int(state6.step)
+    assert tree_allclose(restored.params, jax.device_get(state6.params))
+
+    state10a, _ = _run_steps(toy_cfg, exs, 4, state=state6)
+    state10b, _ = _run_steps(toy_cfg, exs, 4, state=restored)
+    assert tree_allclose(jax.device_get(state10a.params),
+                         jax.device_get(state10b.params))
+
+
+def test_dp_mesh_matches_single_device(toy_cfg):
+    """8-virtual-device DP run is numerically ≡ the single-device run at equal
+    global batch (SURVEY.md §4 'multi-node without hardware')."""
+    exs = make_toy_examples(64, seed=3, img_dim=toy_cfg.model.img_feat_dim)
+    state_1, losses_1 = _run_steps(toy_cfg, exs, 5)
+    mesh = make_mesh(n_data=8, n_model=1)
+    state_8, losses_8 = _run_steps(toy_cfg, exs, 5, mesh=mesh)
+    np.testing.assert_allclose(losses_1, losses_8, rtol=2e-4, atol=2e-5)
+    a = jax.device_get(state_1.params)
+    b = jax.device_get(state_8.params)
+    flat_a = jax.tree.leaves(a)
+    flat_b = jax.tree.leaves(b)
+    for x, y in zip(flat_a, flat_b):
+        np.testing.assert_allclose(x, y, rtol=2e-3, atol=2e-4)

@@ -1,0 +1,133 @@
+"""Length-bucketed, fixed-shape batching (SURVEY.md C3).
+
+The reference sorts by length, pads per-batch, and ships each batch to the GPU
+ad hoc. On TPU, every distinct shape is a recompile, so batches here come in a
+SMALL, FIXED set of shapes: each example lands in the smallest (src_bucket,
+tgt_bucket) that fits it, every batch has exactly `batch_size` rows (short
+final batches are padded with all-<pad> rows carrying sample_mask=0), and the
+per-bucket shapes are known up front. sample_mask keeps padded rows out of the
+loss and out of eval outputs."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from vag_nmt_tpu.core.config import EOS_ID, PAD_ID, SOS_ID
+
+
+@dataclasses.dataclass
+class Example:
+    src: List[int]
+    tgt: Optional[List[int]] = None         # without sos/eos
+    img: Optional[np.ndarray] = None        # (F,) pool5 feature
+    index: int = -1                          # corpus line (for output ordering)
+
+
+Batch = Dict[str, np.ndarray]
+
+
+def _bucket_for(n: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+class BucketBatcher:
+    """Groups examples into fixed-shape batches.
+
+    train mode (shuffle=True): buckets are shuffled per epoch with a
+    deterministic per-epoch seed; short remainder batches are padded.
+    eval mode (shuffle=False): corpus order within buckets is preserved and
+    `index` travels with each row so outputs can be restored to corpus order.
+    """
+
+    def __init__(
+        self,
+        examples: Sequence[Example],
+        batch_size: int,
+        src_buckets: Sequence[int],
+        tgt_buckets: Optional[Sequence[int]] = None,
+        *,
+        seed: int = 0,
+        include_image: bool = False,
+        img_dim: int = 2048,
+    ):
+        self.examples = list(examples)
+        self.batch_size = batch_size
+        self.src_buckets = sorted(src_buckets)
+        self.tgt_buckets = sorted(tgt_buckets or src_buckets)
+        self.seed = seed
+        self.include_image = include_image
+        self.img_dim = img_dim
+
+    def _assign(self) -> Dict[Tuple[int, int], List[int]]:
+        groups: Dict[Tuple[int, int], List[int]] = {}
+        for i, ex in enumerate(self.examples):
+            bs = _bucket_for(len(ex.src), self.src_buckets)
+            # +1 on target for the shifted sos/eos pair
+            bt = (_bucket_for(len(ex.tgt) + 1, self.tgt_buckets)
+                  if ex.tgt is not None else self.tgt_buckets[0])
+            groups.setdefault((bs, bt), []).append(i)
+        return groups
+
+    def _make_batch(self, idxs: Sequence[int], bs: int, bt: int) -> Batch:
+        B = self.batch_size
+        n = len(idxs)
+        src = np.full((B, bs), PAD_ID, np.int32)
+        src_mask = np.zeros((B, bs), np.float32)
+        tgt_in = np.full((B, bt), PAD_ID, np.int32)
+        tgt_out = np.full((B, bt), PAD_ID, np.int32)
+        tgt_mask = np.zeros((B, bt), np.float32)
+        sample_mask = np.zeros((B,), np.float32)
+        index = np.full((B,), -1, np.int32)
+        img = (np.zeros((B, self.img_dim), np.float32)
+               if self.include_image else None)
+        for r, i in enumerate(idxs):
+            ex = self.examples[i]
+            L = min(len(ex.src), bs)
+            src[r, :L] = ex.src[:L]
+            src_mask[r, :L] = 1.0
+            sample_mask[r] = 1.0
+            index[r] = ex.index if ex.index >= 0 else i
+            if ex.tgt is not None:
+                t = ex.tgt[: bt - 1]
+                tgt_in[r, 0] = SOS_ID
+                tgt_in[r, 1: 1 + len(t)] = t
+                tgt_out[r, : len(t)] = t
+                tgt_out[r, len(t)] = EOS_ID
+                tgt_mask[r, : len(t) + 1] = 1.0
+            if img is not None and ex.img is not None:
+                img[r] = ex.img
+        batch: Batch = {
+            "src": src, "src_mask": src_mask,
+            "tgt_in": tgt_in, "tgt_out": tgt_out, "tgt_mask": tgt_mask,
+            "sample_mask": sample_mask, "index": index,
+        }
+        if img is not None:
+            batch["img"] = img
+        return batch
+
+    def epoch(self, epoch: int = 0, shuffle: bool = True) -> Iterator[Batch]:
+        groups = self._assign()
+        rng = np.random.RandomState((self.seed * 1_000_003 + epoch) & 0x7FFFFFFF)
+        keys = sorted(groups.keys())
+        order: List[Tuple[Tuple[int, int], List[int]]] = []
+        for k in keys:
+            idxs = groups[k]
+            if shuffle:
+                idxs = list(np.array(idxs)[rng.permutation(len(idxs))])
+            chunks = [idxs[i: i + self.batch_size]
+                      for i in range(0, len(idxs), self.batch_size)]
+            order.extend((k, c) for c in chunks)
+        if shuffle:
+            order = [order[i] for i in rng.permutation(len(order))]
+        for (bs, bt), chunk in order:
+            yield self._make_batch(chunk, bs, bt)
+
+    def num_batches(self) -> int:
+        groups = self._assign()
+        return sum(-(-len(v) // self.batch_size) for v in groups.values())

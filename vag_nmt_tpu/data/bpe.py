@@ -1,0 +1,148 @@
+"""Byte-pair encoding, subword-nmt semantics (SURVEY.md C1).
+
+The reference preprocesses with the external ``subword-nmt`` package (~10k
+merges). This is a self-contained reimplementation of the same algorithm:
+
+- learn: iteratively merge the most frequent adjacent symbol pair over a word
+  frequency dict; word symbols are characters with '</w>' appended to the last;
+- apply: repeatedly merge the LOWEST-RANK pair present in the word (greedy by
+  merge priority, exactly subword-nmt's application rule);
+- output: '@@'-continuation convention ('foo' -> 'fo@@ o'), reversed by
+  ``remove_bpe``.
+
+A C++ fast path for `encode_line` lives in native/bpe_apply.cpp (optional,
+ctypes-loaded); the Python path is the semantics oracle.
+"""
+
+from __future__ import annotations
+
+import json
+from collections import Counter
+from typing import Dict, Iterable, List, Sequence, Tuple
+
+END = "</w>"
+
+
+def _word_symbols(word: str) -> Tuple[str, ...]:
+    if not word:
+        return ()
+    return tuple(word[:-1]) + (word[-1] + END,)
+
+
+def learn_bpe(word_freqs: Dict[str, int], num_merges: int) -> List[Tuple[str, str]]:
+    """Learn merge operations from a word frequency dict."""
+    vocab = {_word_symbols(w): f for w, f in word_freqs.items() if w}
+    merges: List[Tuple[str, str]] = []
+    for _ in range(num_merges):
+        pairs: Counter = Counter()
+        for syms, freq in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += freq
+        if not pairs:
+            break
+        # Deterministic: max frequency, ties by lexicographic pair.
+        best = max(pairs.items(), key=lambda kv: (kv[1], kv[0]))[0]
+        if pairs[best] < 2:
+            break
+        merges.append(best)
+        merged = best[0] + best[1]
+        new_vocab = {}
+        for syms, freq in vocab.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == best[0]
+                        and syms[i + 1] == best[1]):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + freq
+        vocab = new_vocab
+    return merges
+
+
+def learn_bpe_from_lines(lines: Iterable[Sequence[str]],
+                         num_merges: int) -> List[Tuple[str, str]]:
+    """Learn from pre-tokenized lines (lists of tokens)."""
+    freqs: Counter = Counter()
+    for toks in lines:
+        freqs.update(toks)
+    return learn_bpe(dict(freqs), num_merges)
+
+
+class BPE:
+    """Apply learned merges to tokens/lines, with a per-word cache."""
+
+    def __init__(self, merges: Sequence[Tuple[str, str]]):
+        self.merges = [tuple(m) for m in merges]
+        self.ranks = {tuple(m): i for i, m in enumerate(self.merges)}
+        self._cache: Dict[str, Tuple[str, ...]] = {}
+
+    def segment_word(self, word: str) -> Tuple[str, ...]:
+        if word in self._cache:
+            return self._cache[word]
+        syms = list(_word_symbols(word))
+        while len(syms) > 1:
+            # lowest-rank pair present
+            best_rank, best_i = None, -1
+            for i in range(len(syms) - 1):
+                r = self.ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_rank is None:
+                break
+            pair = (syms[best_i], syms[best_i + 1])
+            merged = pair[0] + pair[1]
+            # merge ALL occurrences of this pair (subword-nmt rule)
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == pair[0]
+                        and syms[i + 1] == pair[1]):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        units = []
+        for i, s in enumerate(syms):
+            if s.endswith(END):
+                units.append(s[: -len(END)])
+            else:
+                units.append(s + "@@")
+        units = tuple(u for u in units if u)  # drop empty from bare '</w>'
+        self._cache[word] = units
+        return units
+
+    def encode_tokens(self, tokens: Sequence[str]) -> List[str]:
+        out: List[str] = []
+        for t in tokens:
+            out.extend(self.segment_word(t))
+        return out
+
+    # ---- persistence --------------------------------------------------------
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump({"merges": self.merges}, f)
+
+    @staticmethod
+    def load(path: str) -> "BPE":
+        with open(path) as f:
+            return BPE([tuple(m) for m in json.load(f)["merges"]])
+
+
+def remove_bpe(tokens: Sequence[str]) -> List[str]:
+    """Merge '@@'-continued units back into words."""
+    out: List[str] = []
+    buf = ""
+    for t in tokens:
+        if t.endswith("@@"):
+            buf += t[:-2]
+        else:
+            out.append(buf + t)
+            buf = ""
+    if buf:
+        out.append(buf)
+    return out

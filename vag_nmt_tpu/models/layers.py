@@ -44,8 +44,10 @@ def dropout(rng: Optional[jax.Array], x: jnp.ndarray, rate: float,
     return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
 
 
-def l2_normalize(x: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
-    return x / (jnp.linalg.norm(x, axis=-1, keepdims=True) + eps)
+def l2_normalize(x: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    # eps INSIDE the sqrt: d/dx of ||x|| alone is NaN at x == 0, and all-pad
+    # batch-filler rows (zero image features) hit exactly that point.
+    return x * jax.lax.rsqrt(jnp.sum(jnp.square(x), -1, keepdims=True) + eps)
 
 
 def masked_mean(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:

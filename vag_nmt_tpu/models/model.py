@@ -115,7 +115,8 @@ def loss_fn(
     total = ce
     if cfg.multimodal:
         vse_l = vse.max_margin_loss(img_emb, txt_emb, cfg.vse_margin,
-                                    cfg.vse_hard_negatives)
+                                    cfg.vse_hard_negatives,
+                                    sample_mask=batch.get("sample_mask"))
         total = ce + cfg.vse_weight * vse_l
         aux["vse"] = vse_l
     aux["loss"] = total

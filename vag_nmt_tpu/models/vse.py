@@ -59,15 +59,24 @@ def max_margin_loss(
     txt_emb: jnp.ndarray,    # (B, D) unit-norm
     margin: float,
     hard_negatives: bool = False,
+    sample_mask: jnp.ndarray = None,  # (B,) 1.0 for real rows, 0.0 for batch pad
 ) -> jnp.ndarray:
-    """Bidirectional in-batch pairwise ranking loss on cosine similarity."""
+    """Bidirectional in-batch pairwise ranking loss on cosine similarity.
+
+    Rows with sample_mask == 0 (fixed-shape batch padding) are excluded from
+    both sides of the ranking — they are neither anchors nor negatives."""
     sim = jnp.dot(txt_emb, img_emb.T, preferred_element_type=jnp.float32)
     pos = jnp.diag(sim)
     b = sim.shape[0]
-    off_diag = 1.0 - jnp.eye(b, dtype=sim.dtype)
+    valid_pair = 1.0 - jnp.eye(b, dtype=sim.dtype)
+    n_valid = jnp.asarray(b, sim.dtype)
+    if sample_mask is not None:
+        sm = sample_mask.astype(sim.dtype)
+        valid_pair = valid_pair * sm[:, None] * sm[None, :]
+        n_valid = jnp.maximum(sm.sum(), 1.0)
     # sentence -> wrong images, and image -> wrong sentences
-    cost_s = jax.nn.relu(margin + sim - pos[:, None]) * off_diag
-    cost_i = jax.nn.relu(margin + sim - pos[None, :]) * off_diag
+    cost_s = jax.nn.relu(margin + sim - pos[:, None]) * valid_pair
+    cost_i = jax.nn.relu(margin + sim - pos[None, :]) * valid_pair
     if hard_negatives:
-        return (cost_s.max(axis=1) + cost_i.max(axis=0)).mean()
-    return (cost_s.sum(axis=1) + cost_i.sum(axis=0)).mean()
+        return (cost_s.max(axis=1) + cost_i.max(axis=0)).sum() / n_valid
+    return (cost_s.sum(axis=1) + cost_i.sum(axis=0)).sum() / n_valid

@@ -70,13 +70,11 @@ def _spec_for(path: str, use_tp: bool) -> P:
     return P()
 
 
-def param_shardings(mesh: Mesh, params: Dict[str, Any]) -> Dict[str, Any]:
-    """NamedSharding pytree matching `params`. TP rules activate only when the
-    mesh actually has a >1 'model' axis."""
+def param_shardings(mesh: Mesh, tree: Any) -> Any:
+    """NamedSharding pytree matching `tree` (params, or any state pytree whose
+    param-shaped leaves keep their param path suffix, e.g. Adam moments).
+    TP rules activate only when the mesh actually has a >1 'model' axis."""
     use_tp = mesh.shape[MODEL_AXIS] > 1
-
-    flat = jax.tree_util.tree_flatten_with_path(params)
-    specs = {}
 
     def path_str(kp) -> str:
         parts = []
@@ -85,11 +83,13 @@ def param_shardings(mesh: Mesh, params: Dict[str, Any]) -> Dict[str, Any]:
                 parts.append(str(k.key))
             elif hasattr(k, "idx"):
                 parts.append(str(k.idx))
+            elif hasattr(k, "name"):
+                parts.append(str(k.name))
             else:
                 parts.append(str(k))
         return "/".join(parts)
 
-    leaves, treedef = flat
+    leaves, treedef = jax.tree_util.tree_flatten_with_path(tree)
     shardings = [
         NamedSharding(mesh, _spec_for(path_str(kp), use_tp)) for kp, _ in leaves
     ]

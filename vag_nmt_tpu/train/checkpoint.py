@@ -1,0 +1,51 @@
+"""Full train-state checkpointing with resume (SURVEY.md C15, §5).
+
+The reference saves only the best model's ``state_dict`` — no optimizer/step
+resume. Here the FULL TrainState (params, Adam moments, step, lr) plus loop
+metadata (epoch, best dev BLEU, eval patience counters, RNG seed) round-trips
+through flax.serialization msgpack, so training resumes bit-exactly. A
+``best`` pointer mirrors the reference's best-by-dev-BLEU model."""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+from flax import serialization
+
+from vag_nmt_tpu.train.state import TrainState
+
+_STATE_FILE = "state_{tag}.msgpack"
+_META_FILE = "meta_{tag}.json"
+
+
+def save_checkpoint(ckpt_dir: str, tag: str, state: TrainState,
+                    meta: Optional[Dict[str, Any]] = None) -> None:
+    os.makedirs(ckpt_dir, exist_ok=True)
+    state = jax.device_get(state)
+    payload = serialization.to_bytes(state._asdict())
+    tmp = os.path.join(ckpt_dir, _STATE_FILE.format(tag=tag) + ".tmp")
+    with open(tmp, "wb") as f:
+        f.write(payload)
+    os.replace(tmp, os.path.join(ckpt_dir, _STATE_FILE.format(tag=tag)))
+    with open(os.path.join(ckpt_dir, _META_FILE.format(tag=tag)), "w") as f:
+        json.dump({"step": int(state.step), **(meta or {})}, f)
+
+
+def load_checkpoint(ckpt_dir: str, tag: str,
+                    template: TrainState) -> Tuple[TrainState, Dict[str, Any]]:
+    """Restore into the structure of `template` (from create_train_state)."""
+    with open(os.path.join(ckpt_dir, _STATE_FILE.format(tag=tag)), "rb") as f:
+        restored = serialization.from_bytes(template._asdict(), f.read())
+    meta_path = os.path.join(ckpt_dir, _META_FILE.format(tag=tag))
+    meta: Dict[str, Any] = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    return TrainState(**restored), meta
+
+
+def has_checkpoint(ckpt_dir: str, tag: str) -> bool:
+    return os.path.exists(os.path.join(ckpt_dir, _STATE_FILE.format(tag=tag)))

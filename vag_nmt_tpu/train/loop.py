@@ -1,0 +1,135 @@
+"""Epoch training loop (SURVEY.md C11): joint CE+VSE steps, periodic dev-set
+decode + BLEU, LR decay on plateau, early stop, best/last checkpoints, full
+resume. One loop serves every preset (the reference duplicates this per
+language pair)."""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vag_nmt_tpu.core.config import Config
+from vag_nmt_tpu.core.metrics import MetricsLogger, StepTimer
+from vag_nmt_tpu.data.batching import BucketBatcher, Example
+from vag_nmt_tpu.data.prefetch import device_prefetch
+from vag_nmt_tpu.data.vocab import Vocab
+from vag_nmt_tpu.decode.translate import translate_corpus
+from vag_nmt_tpu.evaluation.bleu import corpus_bleu
+from vag_nmt_tpu.parallel.sharding import batch_sharding
+from vag_nmt_tpu.train.checkpoint import (
+    has_checkpoint,
+    load_checkpoint,
+    save_checkpoint,
+)
+from vag_nmt_tpu.train.state import TrainState, create_train_state
+from vag_nmt_tpu.train.step import make_train_step
+
+
+def train_loop(
+    cfg: Config,
+    out_dir: str,
+    train_examples: Sequence[Example],
+    dev_examples: Sequence[Example],
+    tgt_vocab: Vocab,
+    dev_refs: Sequence[str],          # de-BPE'd tokenized reference lines
+    *,
+    mesh=None,
+    max_steps: Optional[int] = None,
+    logger: Optional[MetricsLogger] = None,
+) -> Dict[str, float]:
+    log = logger or MetricsLogger(os.path.join(out_dir, "metrics.jsonl"))
+    ckpt_dir = os.path.join(out_dir, cfg.train.checkpoint_dir)
+
+    state = create_train_state(jax.random.key(cfg.train.seed), cfg)
+    batcher = BucketBatcher(
+        train_examples, cfg.data.batch_size, cfg.data.length_buckets,
+        seed=cfg.data.shuffle_seed,
+        include_image=cfg.model.multimodal, img_dim=cfg.model.img_feat_dim)
+
+    example_batch = next(iter(batcher.epoch(0)))
+    step_fn, state_sh = make_train_step(cfg, mesh, state, example_batch)
+    if state_sh is not None:
+        state = jax.device_put(state, state_sh)
+    sharding = batch_sharding(mesh) if mesh is not None else None
+
+    base_rng = jax.random.key(cfg.train.seed + 1)
+    start_epoch = 0
+    best_bleu = -1.0
+    evals_since_best = 0
+    if cfg.train.resume and has_checkpoint(ckpt_dir, "last"):
+        state, meta = load_checkpoint(ckpt_dir, "last", state)
+        if state_sh is not None:
+            state = jax.device_put(state, state_sh)
+        start_epoch = int(meta.get("epoch", 0))
+        best_bleu = float(meta.get("best_bleu", -1.0))
+        evals_since_best = int(meta.get("evals_since_best", 0))
+        log.log("resume", step=int(state.step), epoch=start_epoch,
+                best_bleu=best_bleu)
+
+    timer = StepTimer()
+    stop = False
+    final: Dict[str, float] = {}
+
+    def run_eval(state: TrainState, epoch: int) -> Dict[str, float]:
+        nonlocal best_bleu, evals_since_best
+        hyps, dstats = translate_corpus(
+            state.params, cfg, dev_examples, tgt_vocab,
+            beam_size=cfg.decode.beam_size)
+        bleu = corpus_bleu(hyps, list(dev_refs))
+        improved = bleu.bleu > best_bleu
+        if improved:
+            best_bleu = bleu.bleu
+            evals_since_best = 0
+            save_checkpoint(ckpt_dir, "best", state,
+                            {"epoch": epoch, "best_bleu": best_bleu})
+        else:
+            evals_since_best += 1
+            if (evals_since_best % cfg.train.lr_decay_patience == 0
+                    and evals_since_best > 0):
+                state = state._replace(
+                    lr=state.lr * cfg.train.lr_decay_factor)
+                log.log("lr_decay", lr=float(state.lr))
+        log.log("eval", step=int(state.step), epoch=epoch, dev_bleu=bleu.bleu,
+                best_bleu=best_bleu,
+                dev_sent_per_sec=dstats["sentences_per_sec"])
+        return {"state": state, "bleu": bleu.bleu,
+                "early_stop": evals_since_best >= cfg.train.early_stop_patience}
+
+    for epoch in range(start_epoch, cfg.train.max_epochs):
+        for batch in device_prefetch(batcher.epoch(epoch), size=2,
+                                     sharding=sharding):
+            timer.start()
+            state, aux = step_fn(state, batch, base_rng)
+            if int(state.step) % 50 == 1:
+                dt = timer.stop(aux["loss"])
+                log.log("train", step=int(state.step), epoch=epoch,
+                        loss=float(aux["loss"]), ce=float(aux["ce"]),
+                        vse=float(aux.get("vse", 0.0)),
+                        acc=float(aux["acc"]),
+                        grad_norm=float(aux["grad_norm"]),
+                        lr=float(aux["lr"]), step_time_s=dt)
+            if (cfg.train.eval_every_steps > 0
+                    and int(state.step) % cfg.train.eval_every_steps == 0):
+                r = run_eval(state, epoch)
+                state = r["state"]
+                final["dev_bleu"] = r["bleu"]
+                if r["early_stop"]:
+                    log.log("early_stop", step=int(state.step))
+                    stop = True
+            if max_steps is not None and int(state.step) >= max_steps:
+                stop = True
+            if stop:
+                break
+        save_checkpoint(ckpt_dir, "last", state,
+                        {"epoch": epoch + 1, "best_bleu": best_bleu,
+                         "evals_since_best": evals_since_best})
+        if stop:
+            break
+
+    final.update({"steps": float(int(state.step)), "best_bleu": best_bleu})
+    log.log("done", **final)
+    return final

@@ -1,0 +1,88 @@
+"""The pjit train step (SURVEY.md C11, §5 'Distributed comm backend').
+
+One jitted program: forward (encoder scans + grounding + teacher-forced
+decoder + joint CE+VSE loss), backward, clip, Adam, apply. Under a >1-device
+mesh the batch is sharded over 'data' and XLA GSPMD inserts the gradient
+all-reduce over ICI; with a >1 'model' axis the vocab-dim TP sharding of the
+embedding/readout tables partitions the softmax matmuls. Train-state buffers
+are donated, so params/moments update in place in HBM."""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from vag_nmt_tpu.core.config import Config
+from vag_nmt_tpu.models import loss_fn
+from vag_nmt_tpu.parallel.sharding import (
+    batch_sharding,
+    param_shardings,
+    replicated,
+)
+from vag_nmt_tpu.train.state import TrainState, make_optimizer
+from vag_nmt_tpu.utils.pytree import global_norm
+
+
+def _batch_shardings(mesh, batch_spec: Dict[str, Any]):
+    sh = batch_sharding(mesh)
+    return {k: sh for k in batch_spec}
+
+
+def make_train_step(
+    cfg: Config,
+    mesh=None,
+    example_state: Optional[TrainState] = None,
+    example_batch: Optional[Dict[str, Any]] = None,
+):
+    """Returns (jitted_step, state_shardings). state_shardings is None for the
+    single-device path and a TrainState-of-NamedSharding under a mesh (use it
+    to place the state before the first call)."""
+    tx = make_optimizer(cfg)
+
+    def step(state: TrainState, batch: Dict[str, jnp.ndarray],
+             base_rng: jax.Array):
+        rng = jax.random.fold_in(base_rng, state.step)
+
+        def lf(params):
+            return loss_fn(params, cfg.model, batch, rng, train=True)
+
+        (_, aux), grads = jax.value_and_grad(lf, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        updates = jax.tree.map(lambda u: -state.lr * u, updates)
+        new_params = optax.apply_updates(state.params, updates)
+        aux = dict(aux)
+        aux["grad_norm"] = global_norm(grads)
+        aux["lr"] = state.lr
+        new_state = TrainState(step=state.step + 1, params=new_params,
+                               opt_state=new_opt, lr=state.lr)
+        return new_state, aux
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,)), None
+
+    assert example_state is not None and example_batch is not None
+    state_sh = TrainState(
+        step=replicated(mesh),
+        params=param_shardings(mesh, example_state.params),
+        opt_state=param_shardings(mesh, example_state.opt_state),
+        lr=replicated(mesh),
+    )
+    aux_sh = None  # let GSPMD infer the (scalar) metric shardings
+    return jax.jit(
+        step,
+        in_shardings=(state_sh, _batch_shardings(mesh, example_batch),
+                      replicated(mesh)),
+        out_shardings=(state_sh, aux_sh),
+        donate_argnums=(0,),
+    ), state_sh
+
+
+def make_eval_step(cfg: Config) -> Callable:
+    def step(params, batch):
+        _, aux = loss_fn(params, cfg.model, batch, None, train=False)
+        return aux
+
+    return jax.jit(step)
