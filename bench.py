@@ -46,8 +46,7 @@ def main() -> None:
                   + [f"t{i}" for i in range(m.tgt_vocab_size - 4)])
 
     # Warmup (compile every bucket shape), then timed run.
-    warm = examples[: 2 * cfg.decode.decode_batch_size]
-    translate_corpus(params, cfg, warm, vocab)
+    translate_corpus(params, cfg, examples, vocab)
     t0 = time.perf_counter()
     _, stats = translate_corpus(params, cfg, examples, vocab)
     elapsed = time.perf_counter() - t0

@@ -1,0 +1,74 @@
+"""Pallas GRU scan vs the XLA lax.scan oracle (SURVEY.md §4, §7 hard part 2).
+
+On CPU these run the Pallas interpreter — same kernel code path as the TPU
+Mosaic compile, minus hardware tiling. TPU-compiled numerics are exercised by
+the driver's bench/entry runs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vag_nmt_tpu.ops.gru import gru_scan, init_gru_params
+from vag_nmt_tpu.ops.pallas_gru import pallas_gru_scan
+
+
+def _setup(B=8, T=12, E=16, H=32, seed=0):
+    key = jax.random.key(seed)
+    params = init_gru_params(key, E, H, "t")
+    rng = np.random.RandomState(seed)
+    x = jnp.asarray(rng.randn(B, T, E).astype(np.float32))
+    lens = rng.randint(1, T + 1, B)
+    mask = jnp.asarray((np.arange(T)[None, :] < lens[:, None]).astype(np.float32))
+    h0 = jnp.zeros((B, H), jnp.float32)
+    return params, x, mask, h0
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_forward_matches_xla_oracle(reverse):
+    params, x, mask, h0 = _setup()
+    hs_ref, hl_ref = gru_scan(params, x, mask, h0, reverse=reverse, impl="xla")
+    hs, hl = pallas_gru_scan(params, x, mask, h0, reverse=reverse)
+    np.testing.assert_allclose(np.asarray(hs), np.asarray(hs_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(hl), np.asarray(hl_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_gradients_match_xla_oracle(reverse):
+    params, x, mask, h0 = _setup(B=8, T=7, E=8, H=16)
+
+    def loss(impl):
+        def f(params, x, h0):
+            hs, hl = gru_scan(params, x, mask, h0, reverse=reverse, impl=impl)
+            # weight states by position so the grad isn't uniform
+            w = jnp.arange(1, hs.shape[1] + 1, dtype=jnp.float32)[None, :, None]
+            return (hs * w).sum() + 2.0 * (hl ** 2).sum()
+        return f
+
+    g_ref = jax.grad(loss("xla"), argnums=(0, 1, 2))(params, x, h0)
+    g_pal = jax.grad(loss("pallas"), argnums=(0, 1, 2))(params, x, h0)
+    for a, b, name in [
+        (g_pal[0]["wi"], g_ref[0]["wi"], "wi"),
+        (g_pal[0]["bi"], g_ref[0]["bi"], "bi"),
+        (g_pal[0]["uh"], g_ref[0]["uh"], "uh"),
+        (g_pal[0]["bh"], g_ref[0]["bh"], "bh"),
+        (g_pal[1], g_ref[1], "x"),
+        (g_pal[2], g_ref[2], "h0"),
+    ]:
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5, err_msg=name)
+
+
+def test_padding_invariance_pallas():
+    """Same sentence in a longer bucket -> identical states at real tokens."""
+    params, x, mask, h0 = _setup(B=8, T=10)
+    hs1, hl1 = pallas_gru_scan(params, x, mask, h0)
+    x_pad = jnp.concatenate([x, jnp.zeros((8, 6, 16), jnp.float32)], axis=1)
+    m_pad = jnp.concatenate([mask, jnp.zeros((8, 6), jnp.float32)], axis=1)
+    hs2, hl2 = pallas_gru_scan(params, x_pad, m_pad, h0)
+    np.testing.assert_allclose(np.asarray(hs2[:, :10]), np.asarray(hs1),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(hl2), np.asarray(hl1),
+                               rtol=1e-6, atol=1e-6)

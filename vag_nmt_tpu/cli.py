@@ -226,6 +226,15 @@ def cmd_retrieval(args) -> None:
     print(json.dumps(retrieval_recall(img, txt)))
 
 
+def cmd_extract_features(args) -> None:
+    from vag_nmt_tpu.data.extract_features import extract_to_file
+
+    extract_to_file(args.image_dir, args.image_list, args.out,
+                    corpus_path=args.corpus or None,
+                    batch_size=args.batch_size)
+    print(f"features -> {args.out}")
+
+
 def cmd_make_toy(args) -> None:
     from vag_nmt_tpu.data.datasets import write_toy_corpus
     from vag_nmt_tpu.data.pipeline import preprocess_toy
@@ -292,6 +301,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tag", default="best", choices=["best", "last"])
     p.add_argument("--split", default="test2017")
     p.set_defaults(fn=cmd_retrieval)
+
+    p = sub.add_parser("extract-features",
+                       help="offline ResNet-50 pool5 features -> .npy")
+    p.add_argument("--image-dir", required=True)
+    p.add_argument("--image-list", required=True,
+                   help="one image filename per corpus line")
+    p.add_argument("--out", required=True)
+    p.add_argument("--corpus", default="",
+                   help="corpus text file for the alignment checksum")
+    p.add_argument("--batch-size", type=int, default=32)
+    p.set_defaults(fn=cmd_extract_features)
 
     p = sub.add_parser("make-toy", help="materialize the synthetic toy corpus")
     p.add_argument("--out-dir", required=True)

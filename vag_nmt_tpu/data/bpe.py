@@ -72,13 +72,66 @@ def learn_bpe_from_lines(lines: Iterable[Sequence[str]],
     return learn_bpe(dict(freqs), num_merges)
 
 
-class BPE:
-    """Apply learned merges to tokens/lines, with a per-word cache."""
+def _load_native():
+    """ctypes handle to native/libbpe_apply.so, or None (pure-Python path)."""
+    import ctypes
+    import os
 
-    def __init__(self, merges: Sequence[Tuple[str, str]]):
+    so = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), "native", "libbpe_apply.so")
+    if not os.path.exists(so):
+        return None
+    try:
+        lib = ctypes.CDLL(so)
+    except OSError:
+        return None
+    lib.bpe_new.restype = ctypes.c_void_p
+    lib.bpe_new.argtypes = [ctypes.c_char_p, ctypes.c_long]
+    lib.bpe_free.argtypes = [ctypes.c_void_p]
+    lib.bpe_encode_line.restype = ctypes.c_long
+    lib.bpe_encode_line.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                    ctypes.c_char_p, ctypes.c_long]
+    return lib
+
+
+_NATIVE = _load_native()
+
+
+class BPE:
+    """Apply learned merges to tokens/lines, with a per-word cache.
+
+    When native/libbpe_apply.so is built (make -C native), whole-line
+    application runs through the C++ fast path; the Python implementation is
+    the semantics oracle (tests assert identical output)."""
+
+    def __init__(self, merges: Sequence[Tuple[str, str]],
+                 use_native: bool = True):
         self.merges = [tuple(m) for m in merges]
         self.ranks = {tuple(m): i for i, m in enumerate(self.merges)}
         self._cache: Dict[str, Tuple[str, ...]] = {}
+        self._nat = None
+        if use_native and _NATIVE is not None:
+            blob = "".join(f"{a}\t{b}\n" for a, b in self.merges).encode()
+            self._nat = _NATIVE.bpe_new(blob, len(blob))
+
+    def __del__(self):
+        nat = getattr(self, "_nat", None)
+        if nat is not None and _NATIVE is not None:
+            _NATIVE.bpe_free(nat)
+
+    def encode_line(self, line: str) -> List[str]:
+        """Whitespace-tokenized line -> BPE units (native fast path)."""
+        if self._nat is not None:
+            import ctypes
+
+            raw = line.encode("utf-8")
+            cap = max(4096, 4 * len(raw) + 64)
+            buf = ctypes.create_string_buffer(cap)
+            n = _NATIVE.bpe_encode_line(self._nat, raw, buf, cap)
+            if n >= 0:
+                s = buf.raw[:n].decode("utf-8")
+                return s.split(" ") if s else []
+        return self.encode_tokens(line.split())
 
     def segment_word(self, word: str) -> Tuple[str, ...]:
         if word in self._cache:

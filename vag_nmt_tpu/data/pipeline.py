@@ -49,7 +49,8 @@ def preprocess_corpus(
         # 3. apply + write
         segmented: dict = {}
         for split in splits:
-            segmented[split] = [bpe.encode_tokens(toks)
+            # encode_line takes the C++ fast path when native/ is built
+            segmented[split] = [bpe.encode_line(" ".join(toks))
                                 for toks in tokenized[split]]
             with open(os.path.join(out_dir, f"{split}.{lang}"), "w",
                       encoding="utf-8") as f:

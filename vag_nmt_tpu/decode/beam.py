@@ -51,9 +51,6 @@ def beam_search(
 ) -> BeamResult:
     B = state.s0.shape[0]
     K = beam_size
-    V = (params["decoder"]["embed"]["table"].shape[0]
-         if cfg.tied_readout_embedding else
-         params["decoder"]["readout"]["w_out"].shape[1])
 
     tiled = DecodeState(
         ctx=_tile_rows(state.ctx, K),
@@ -62,9 +59,6 @@ def beam_search(
         s0=_tile_rows(state.s0, K),
     )
 
-    # Finished rows are forced to continue with <pad> at log-prob 0.
-    pad_row = jnp.full((V,), NEG_INF, jnp.float32).at[PAD_ID].set(0.0)
-
     def cond(carry):
         t, _, _, _, _, finished, _ = carry
         return (t < max_len) & ~jnp.all(finished)
@@ -72,9 +66,16 @@ def beam_search(
     def body(carry):
         t, last_tok, s, scores, tokens, finished, lengths = carry
         s_new, logits = decode_step(params, cfg, last_tok.reshape(-1), s, tiled)
+        V = logits.shape[-1]
         logp = jax.nn.log_softmax(logits, axis=-1).reshape(B, K, V)
+        # Finished rows are forced to continue with <pad> at log-prob 0, so
+        # they ride along frozen and keep competing in top-k.
+        pad_row = jnp.full((V,), NEG_INF, logp.dtype).at[PAD_ID].set(0.0)
         logp = jnp.where(finished[..., None], pad_row, logp)
 
+        # One top-k over the (K*V)-wide candidate row per sentence: measured
+        # faster on TPU than a per-beam top-k + combine (k*V-wide rows with
+        # fewer rows win; see round-1 perf notes).
         flat = (scores[..., None] + logp).reshape(B, K * V)
         top_scores, idx = jax.lax.top_k(flat, K)       # (B, K)
         beam_idx = idx // V

@@ -12,6 +12,7 @@ from functools import lru_cache, partial
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from vag_nmt_tpu.core.config import Config
@@ -22,6 +23,7 @@ from vag_nmt_tpu.data.vocab import Vocab
 from vag_nmt_tpu.decode.beam import beam_search
 from vag_nmt_tpu.decode.greedy import greedy_decode
 from vag_nmt_tpu.models import prepare_decode
+from vag_nmt_tpu.utils.pytree import cast_floats
 
 
 @lru_cache(maxsize=64)
@@ -33,7 +35,15 @@ def make_decode_fn(cfg: Config, beam_size: int, max_len: int):
     recompile every bucket shape (~4.5s each on the tunneled TPU)."""
 
     @partial(jax.jit, static_argnames=())
-    def decode(params, batch):
+    def decode(params, batch, img_table=None):
+        if cfg.model.compute_dtype == "bfloat16":
+            params = cast_floats(params, jnp.bfloat16)
+        if img_table is not None:
+            # Features live on device once for the whole corpus; the per-batch
+            # feed carries only row ids (the per-batch (B, 2048) host->device
+            # transfer dominated corpus decode before this).
+            batch = dict(batch)
+            batch["img"] = jnp.take(img_table, batch.pop("img_ids"), axis=0)
         state = prepare_decode(params, cfg.model, batch)
         if beam_size <= 1:
             toks, lens = greedy_decode(params, cfg.model, state, max_len)
@@ -46,6 +56,86 @@ def make_decode_fn(cfg: Config, beam_size: int, max_len: int):
     return decode
 
 
+@lru_cache(maxsize=64)
+def make_fused_corpus_fn(cfg: Config, beam_size: int, max_len: int,
+                         multimodal: bool):
+    """ONE jitted program decoding the ENTIRE corpus: lax.map over fixed-size
+    chunks of a single padded (n_chunks, B, T_src) token array, image features
+    gathered on-device from a resident table. One dispatch + one host fetch
+    per corpus — per-call dispatch latency (~30ms on a tunneled chip) and
+    per-bucket recompiles disappear from the decode path."""
+
+    @partial(jax.jit, static_argnames=())
+    def run(params, src, src_mask, ids, img_table):
+        if cfg.model.compute_dtype == "bfloat16":
+            params = cast_floats(params, jnp.bfloat16)
+
+        def one(args):
+            s, m, chunk_ids = args
+            batch = {"src": s, "src_mask": m}
+            if multimodal:
+                batch["img"] = jnp.take(img_table, chunk_ids, axis=0)
+            state = prepare_decode(params, cfg.model, batch)
+            if beam_size <= 1:
+                return greedy_decode(params, cfg.model, state, max_len)
+            res = beam_search(params, cfg.model, state, beam_size=beam_size,
+                              max_len=max_len,
+                              length_norm_alpha=cfg.decode.length_norm_alpha)
+            return res.best_tokens, res.best_lengths
+
+        return jax.lax.map(one, (src, src_mask, ids))
+
+    return run
+
+
+def _translate_fused(params, cfg, examples, tgt_vocab, beam_size, max_len,
+                     batch_size, de_bpe):
+    from vag_nmt_tpu.data.batching import _bucket_for
+
+    n = len(examples)
+    B = batch_size
+    nb = -(-n // B)
+    t_src = _bucket_for(max(len(ex.src) for ex in examples),
+                        cfg.data.length_buckets)
+    multimodal = cfg.model.multimodal
+
+    src = np.zeros((nb * B, t_src), np.int32)
+    mask = np.zeros((nb * B, t_src), np.float32)
+    for i, ex in enumerate(examples):
+        L = min(len(ex.src), t_src)
+        src[i, :L] = ex.src[:L]
+        mask[i, :L] = 1.0
+    ids = np.arange(nb * B, dtype=np.int32) % max(n, 1)
+    if multimodal:
+        tbl = np.zeros((n, cfg.model.img_feat_dim), np.float32)
+        for i, ex in enumerate(examples):
+            tbl[i] = ex.img
+        img_table = jax.device_put(tbl)
+    else:
+        img_table = jnp.zeros((1, 1), jnp.float32)
+
+    run = make_fused_corpus_fn(cfg, beam_size, max_len, multimodal)
+    t0 = time.perf_counter()
+    toks, lens = run(
+        params,
+        jax.device_put(src.reshape(nb, B, t_src)),
+        jax.device_put(mask.reshape(nb, B, t_src)),
+        jax.device_put(ids.reshape(nb, B)),
+        img_table,
+    )
+    toks = np.asarray(jax.device_get(toks)).reshape(nb * B, -1)
+    lens = np.asarray(jax.device_get(lens)).reshape(nb * B)
+    elapsed = time.perf_counter() - t0
+
+    hyps = []
+    for i in range(n):
+        units = tgt_vocab.decode(toks[i, : lens[i]])
+        hyps.append(" ".join(remove_bpe(units) if de_bpe else units))
+    stats = {"sentences_per_sec": n / max(elapsed, 1e-9),
+             "elapsed_s": elapsed, "sentences": n, "beam_size": beam_size}
+    return hyps, stats
+
+
 def translate_corpus(
     params,
     cfg: Config,
@@ -56,6 +146,7 @@ def translate_corpus(
     max_len: Optional[int] = None,
     batch_size: Optional[int] = None,
     de_bpe: bool = True,
+    fused: bool = True,
 ) -> Tuple[List[str], Dict[str, float]]:
     """Returns (hypothesis lines in corpus order, stats incl. sentences/sec)."""
     beam_size = beam_size if beam_size is not None else cfg.decode.beam_size
@@ -63,9 +154,30 @@ def translate_corpus(
     batch_size = (batch_size if batch_size is not None
                   else cfg.decode.decode_batch_size)
 
+    img_ok = (not cfg.model.multimodal
+              or all(ex.img is not None for ex in examples))
+    if fused and examples and img_ok:
+        return _translate_fused(params, cfg, examples, tgt_vocab, beam_size,
+                                max_len, batch_size, de_bpe)
+
+    # Ship ALL image features to the device once; per-batch feeds then carry
+    # only int32 row ids and the gather happens on-device.
+    img_table = None
+    use_table = (cfg.model.multimodal
+                 and all(ex.img is not None for ex in examples))
+    if use_table:
+        # Table rows live in corpus-index space so batch["index"] doubles as
+        # the gather id (filler rows carry -1 -> clamped to 0, masked out).
+        n_rows = 1 + max(ex.index if ex.index >= 0 else i
+                         for i, ex in enumerate(examples))
+        tbl = np.zeros((n_rows, cfg.model.img_feat_dim), np.float32)
+        for i, ex in enumerate(examples):
+            tbl[ex.index if ex.index >= 0 else i] = ex.img
+        img_table = jax.device_put(tbl)
     batcher = BucketBatcher(
         examples, batch_size, cfg.data.length_buckets,
-        include_image=cfg.model.multimodal, img_dim=cfg.model.img_feat_dim)
+        include_image=cfg.model.multimodal and not use_table,
+        img_dim=cfg.model.img_feat_dim)
     decode = make_decode_fn(cfg, beam_size, max_len)
 
     n = len(examples)
@@ -75,10 +187,17 @@ def translate_corpus(
     # Keep device results in flight and fetch at the end: each device_get
     # pays a fixed round-trip latency, so per-batch synchronous gets would
     # serialize transfers with compute.
+    def batches():
+        for b in batcher.epoch(0, shuffle=False):
+            if use_table:
+                b = dict(b)
+                b["img_ids"] = np.maximum(b["index"], 0).astype(np.int32)
+            yield b
+
     pending = []
-    for batch in device_prefetch(batcher.epoch(0, shuffle=False), size=2):
+    for batch in device_prefetch(batches(), size=2):
         feed = {k: v for k, v in batch.items() if k not in ("index",)}
-        toks, lens = decode(params, feed)
+        toks, lens = decode(params, feed, img_table)
         pending.append((toks, lens, batch["index"], batch["sample_mask"]))
     for toks, lens, index, smask in pending:
         toks, lens, index, smask = map(

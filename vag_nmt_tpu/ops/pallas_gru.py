@@ -1,0 +1,267 @@
+"""Fused Pallas TPU kernel for the masked GRU scan (SURVEY.md C4/C8, §7.3).
+
+The reference reaches cuDNN's fused GRU via ``nn.GRU``; this is the TPU-native
+equivalent. Split of labor:
+
+- the time-parallel input projection ``x @ Wi + bi`` is ONE big MXU matmul in
+  XLA (outside the kernel) — it has no sequential dependence;
+- this kernel owns the sequential part: a ``(batch_tiles, T)`` grid where each
+  step does the (TB, H) x (H, 3H) recurrent matmul on the MXU plus the VPU
+  gate math, with the hidden state carried in VMEM scratch. Pallas's grid
+  pipeline double-buffers the per-step HBM->VMEM streaming of the input-gate
+  blocks and the HBM writeback of the output states, so HBM traffic overlaps
+  the matmul. Kernel I/O is time-major (T, B, *) so each streamed block is a
+  lane/sublane-aligned (TB, 3H) tile;
+- masking uses the carry-through trick: at masked steps the state is held, so
+  bucket padding never perturbs states (same contract as ops/gru.py's XLA
+  path, which is the numerics oracle in tests/test_pallas_gru.py).
+
+The backward pass recomputes the gates from the saved states (memory-light,
+one extra recurrent matmul) in a second Pallas kernel walking time in the
+opposite direction; weight gradients accumulate in VMEM across the time grid
+per batch tile and reduce over tiles outside. The public entry
+`pallas_gru_scan` carries a custom VJP so training can run with
+`gru_impl="pallas"` too.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Params = Dict[str, jnp.ndarray]
+
+
+def _interpret() -> bool:
+    # Correctness everywhere: compiled on TPU, interpreter elsewhere (CPU CI).
+    return jax.default_backend() != "tpu"
+
+
+def _gates(xg, hg, h):
+    H = h.shape[-1]
+    r = jax.nn.sigmoid(xg[:, :H] + hg[:, :H])
+    z = jax.nn.sigmoid(xg[:, H:2 * H] + hg[:, H:2 * H])
+    n = jnp.tanh(xg[:, 2 * H:] + r * hg[:, 2 * H:])
+    return r, z, n, (1.0 - z) * n + z * h
+
+
+# ---------------------------------------------------------------------------
+# Forward. Grid (nb, T); all time-major blocks.
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(xg_ref, mask_ref, uh_ref, bh_ref, h0_ref, out_ref, h_scr):
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[:] = h0_ref[:]
+
+    h = h_scr[:]
+    hg = (jnp.dot(h, uh_ref[:], preferred_element_type=jnp.float32)
+          + bh_ref[:])
+    _, _, _, h_new = _gates(xg_ref[0], hg, h)
+    m = mask_ref[0][:, :1]
+    h = jnp.where(m > 0, h_new, h)
+    h_scr[:] = h
+    out_ref[0] = h
+
+
+def _fwd_call(xg_t, mask_t, uh, bh, h0, *, reverse: bool, tb: int):
+    T, B, H3 = xg_t.shape
+    H = H3 // 3
+    nb = B // tb
+
+    def t_eff(t):
+        return T - 1 - t if reverse else t
+
+    return pl.pallas_call(
+        _fwd_kernel,
+        grid=(nb, T),
+        in_specs=[
+            pl.BlockSpec((1, tb, H3), lambda i, t: (t_eff(t), i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb, 1), lambda i, t: (t_eff(t), i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H3), lambda i, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H3), lambda i, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, H), lambda i, t: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tb, H), lambda i, t: (t_eff(t), i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((tb, H), jnp.float32)],
+        interpret=_interpret(),
+    )(xg_t, mask_t, uh, bh, h0)
+
+
+# ---------------------------------------------------------------------------
+# Backward. Grid (nb, T) walking the forward's positions in reverse order.
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(xg_ref, mask_ref, uh_ref, bh_ref, h0_ref, hprev_ref, g_ref,
+                dxg_ref, dh0_ref, du_ref, dbh_ref, dh_scr):
+    t = pl.program_id(1)
+    T = pl.num_programs(1)
+
+    @pl.when(t == 0)
+    def _():
+        dh_scr[:] = jnp.zeros_like(dh_scr)
+        du_ref[:] = jnp.zeros_like(du_ref)
+        dbh_ref[:] = jnp.zeros_like(dbh_ref)
+
+    # Recompute the forward step at this position. On the first scan step of
+    # the forward (== LAST backward grid step t == T-1) h_prev is h0.
+    h_prev = jnp.where(t == T - 1, h0_ref[:], hprev_ref[0])
+    xg = xg_ref[0]
+    hg = (jnp.dot(h_prev, uh_ref[:], preferred_element_type=jnp.float32)
+          + bh_ref[:])
+    r, z, n, _ = _gates(xg, hg, h_prev)
+    H = h_prev.shape[-1]
+
+    dh = dh_scr[:] + g_ref[0]
+    m = mask_ref[0][:, :1]
+    dh_cell = dh * m                      # masked steps: all grad to carry
+    dn = dh_cell * (1.0 - z)
+    dz = dh_cell * (h_prev - n)
+    da_n = dn * (1.0 - n * n)
+    dr = da_n * hg[:, 2 * H:]
+    da_r = dr * r * (1.0 - r)
+    da_z = dz * z * (1.0 - z)
+    # grad wrt hg has the n-block scaled by r (hn enters through r * hn);
+    # grad wrt xg does not (xn enters directly).
+    dhg = jnp.concatenate([da_r, da_z, da_n * r], axis=-1)
+
+    dh_prev = (dh_cell * z + dh * (1.0 - m)
+               + jax.lax.dot_general(          # dhg @ uh^T without transpose
+                   dhg, uh_ref[:], (((1,), (1,)), ((), ())),
+                   preferred_element_type=jnp.float32))
+    dxg_ref[0] = jnp.concatenate([da_r, da_z, da_n], axis=-1)
+    du_ref[0] += jax.lax.dot_general(          # h_prev^T @ dhg
+        h_prev, dhg, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dbh_ref[0, 0] += jnp.sum(dhg, axis=0)
+    dh_scr[:] = dh_prev
+
+    @pl.when(t == T - 1)
+    def _():
+        dh0_ref[:] = dh_prev
+
+
+def _bwd_call(xg_t, mask_t, uh, bh, h0, hs_t, g_t, *, reverse: bool, tb: int):
+    T, B, H3 = xg_t.shape
+    H = H3 // 3
+    nb = B // tb
+
+    # Backward grid step k visits forward position pos(k), walking the scan
+    # order backwards. h_prev of that position is hs at the preceding position
+    # in scan order (clamped at the boundary; kernel substitutes h0 there).
+    def pos(k):
+        return k if reverse else T - 1 - k
+
+    def prev_pos(k):
+        if reverse:
+            return jnp.minimum(pos(k) + 1, T - 1)
+        return jnp.maximum(pos(k) - 1, 0)
+
+    dxg, dh0, du, dbh = pl.pallas_call(
+        _bwd_kernel,
+        grid=(nb, T),
+        in_specs=[
+            pl.BlockSpec((1, tb, H3), lambda i, k: (pos(k), i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb, 1), lambda i, k: (pos(k), i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H3), lambda i, k: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H3), lambda i, k: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, H), lambda i, k: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb, H), lambda i, k: (prev_pos(k), i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb, H), lambda i, k: (pos(k), i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tb, H3), lambda i, k: (pos(k), i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, H), lambda i, k: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, H3), lambda i, k: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, H3), lambda i, k: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B, H3), jnp.float32),
+            jax.ShapeDtypeStruct((B, H), jnp.float32),
+            jax.ShapeDtypeStruct((nb, H, H3), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 1, H3), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((tb, H), jnp.float32)],
+        interpret=_interpret(),
+    )(xg_t, mask_t, uh, bh, h0, hs_t, g_t)
+    return dxg, dh0, du.sum(0), dbh[:, 0].sum(0)
+
+
+# ---------------------------------------------------------------------------
+# Public entry with custom VJP
+# ---------------------------------------------------------------------------
+
+def _pick_tb(B: int) -> int:
+    for tb in (256, 128, 64, 32, 16, 8):
+        if B % tb == 0:
+            return tb
+    return B
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _scan(xg_t, mask_t, uh, bh, h0, reverse):
+    return _fwd_call(xg_t, mask_t, uh, bh.reshape(1, -1), h0,
+                     reverse=reverse, tb=_pick_tb(xg_t.shape[1]))
+
+
+def _scan_fwd(xg_t, mask_t, uh, bh, h0, reverse):
+    hs_t = _scan(xg_t, mask_t, uh, bh, h0, reverse)
+    return hs_t, (xg_t, mask_t, uh, bh, h0, hs_t)
+
+
+def _scan_bwd(reverse, res, g_t):
+    xg_t, mask_t, uh, bh, h0, hs_t = res
+    dxg, dh0, du, dbh = _bwd_call(
+        xg_t, mask_t, uh, bh.reshape(1, -1), h0, hs_t, g_t,
+        reverse=reverse, tb=_pick_tb(xg_t.shape[1]))
+    return dxg, None, du, dbh, dh0
+
+
+_scan.defvjp(_scan_fwd, _scan_bwd)
+
+
+def pallas_gru_scan(
+    params: Params,
+    x: jnp.ndarray,            # (B, T, E)
+    mask: jnp.ndarray,         # (B, T)
+    h0: jnp.ndarray,           # (B, H)
+    *,
+    reverse: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Drop-in for the XLA gru_scan (ops/gru.py): (states, final_state)."""
+    from vag_nmt_tpu.ops.gru import gru_gates_from_x
+
+    xg = gru_gates_from_x(params, x)                  # big MXU matmul, XLA
+    xg_t = jnp.swapaxes(xg, 0, 1).astype(jnp.float32)        # (T, B, 3H)
+    mask_t = jnp.swapaxes(mask, 0, 1)[..., None].astype(jnp.float32)
+    hs_t = _scan(xg_t, mask_t, params["uh"].astype(jnp.float32),
+                 params["bh"].astype(jnp.float32), h0.astype(jnp.float32),
+                 reverse)
+    hs = jnp.swapaxes(hs_t, 0, 1).astype(x.dtype)
+    h_last = hs[:, 0] if reverse else hs[:, -1]
+    return hs, h_last

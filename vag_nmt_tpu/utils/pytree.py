@@ -15,6 +15,18 @@ def global_norm(tree) -> jnp.ndarray:
     return jnp.sqrt(sum(jnp.sum(jnp.square(x.astype(jnp.float32))) for x in leaves))
 
 
+def cast_floats(tree, dtype):
+    """Cast float leaves to `dtype` (int/bool leaves untouched). Used to run
+    decode in bf16: params cast ONCE per call inside jit, matmuls then hit the
+    MXU as bf16 x bf16 with fp32 accumulation (preferred_element_type)."""
+    def cast(x):
+        if jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return x
+
+    return jax.tree_util.tree_map(cast, tree)
+
+
 def tree_allclose(a, b, rtol: float = 1e-6, atol: float = 1e-6) -> bool:
     import numpy as np
 
