@@ -4,10 +4,34 @@ import numpy as np
 
 from vag_nmt_tpu.ops.attention import (
     bahdanau_attend,
+    bahdanau_attend_beams,
     init_attention_params,
     masked_softmax,
     precompute_ctx_proj,
 )
+
+
+def test_beam_attention_matches_tiled_attention():
+    """The beam-axis formulation (ctx shared across beams) must equal tiling
+    ctx to B*K rows and running the flat attention."""
+    B, K, T, C, H, A = 3, 4, 6, 8, 5, 7
+    rng = np.random.RandomState(0)
+    params = init_attention_params(jax.random.key(0), C, H, A)
+    ctx = jnp.asarray(rng.randn(B, T, C).astype(np.float32))
+    q = jnp.asarray(rng.randn(B, K, H).astype(np.float32))
+    lens = rng.randint(1, T + 1, B)
+    mask = jnp.asarray((np.arange(T)[None] < lens[:, None]).astype(np.float32))
+    proj = precompute_ctx_proj(params, ctx)
+
+    c_beam, w_beam = bahdanau_attend_beams(params, q, ctx, proj, mask)
+
+    tile = lambda x: jnp.repeat(x, K, axis=0)
+    c_flat, w_flat = bahdanau_attend(
+        params, q.reshape(B * K, H), tile(ctx), tile(proj), tile(mask))
+    np.testing.assert_allclose(np.asarray(c_beam).reshape(B * K, C),
+                               np.asarray(c_flat), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(w_beam).reshape(B * K, T),
+                               np.asarray(w_flat), rtol=1e-5, atol=1e-6)
 
 
 def test_masked_softmax_zero_on_pads():

@@ -53,14 +53,15 @@ def test_beam_scores_match_teacher_forced_rescoring(setup):
     lens = np.asarray(res.lengths)
     B, K, L = toks.shape
 
-    # Re-score by stepping the decoder with teacher forcing, per hypothesis.
+    # Re-score by stepping the decoder with teacher forcing, per hypothesis
+    # (decode_step takes a (B, K) beam axis; use K=1 here).
     for k in range(K):
         tok = jnp.full((B,), 2, jnp.int32)  # sos
-        s = state.s0
+        s = state.s0[:, None, :]
         total = np.zeros(B)
         for t in range(L):
-            s, logits = decode_step(params, m, tok, s, state)
-            logp = np.asarray(jax.nn.log_softmax(logits, -1))
+            s, logits = decode_step(params, m, tok[:, None], s, state)
+            logp = np.asarray(jax.nn.log_softmax(logits[:, 0], -1))
             step_tok = toks[:, k, t]
             live = t < lens[:, k]
             total += np.where(live, logp[np.arange(B), step_tok], 0.0)
@@ -95,11 +96,11 @@ def test_greedy_tokens_match_manual_argmax_rollout(setup):
     toks, lens = greedy_decode(params, m, state, max_len=8)
     B = state.s0.shape[0]
     tok = jnp.full((B,), 2, jnp.int32)
-    s = state.s0
+    s = state.s0[:, None, :]
     finished = np.zeros(B, bool)
     for t in range(8):
-        s, logits = decode_step(params, m, tok, s, state)
-        nxt = np.asarray(jnp.argmax(logits, -1)).astype(np.int32)
+        s, logits = decode_step(params, m, tok[:, None], s, state)
+        nxt = np.asarray(jnp.argmax(logits[:, 0], -1)).astype(np.int32)
         nxt = np.where(finished, PAD_ID, nxt)
         np.testing.assert_array_equal(np.asarray(toks[:, t]), nxt)
         finished |= nxt == EOS_ID

@@ -1,0 +1,71 @@
+"""Corpus translation paths (SURVEY.md C12/§3.2): the fused single-dispatch
+corpus decode must produce exactly the hypotheses of the per-bucket path, and
+bf16 decode must stay well-formed."""
+
+import jax
+import numpy as np
+import pytest
+
+from vag_nmt_tpu.core.config import preset
+from vag_nmt_tpu.data.batching import Example
+from vag_nmt_tpu.data.vocab import Vocab
+from vag_nmt_tpu.decode.translate import translate_corpus
+from vag_nmt_tpu.models import init_params
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = preset("toy")
+    m = cfg.model
+    params = init_params(jax.random.key(0), m)
+    rng = np.random.RandomState(7)
+    examples = []
+    for i in range(37):          # deliberately not a multiple of batch size
+        L = int(rng.randint(3, 14))
+        examples.append(Example(
+            src=list(rng.randint(4, m.src_vocab_size, L)),
+            img=rng.randn(m.img_feat_dim).astype(np.float32),
+            index=i,
+        ))
+    vocab = Vocab(["<pad>", "<unk>", "<sos>", "<eos>"]
+                  + [f"t{i}" for i in range(m.tgt_vocab_size - 4)])
+    return cfg, params, examples, vocab
+
+
+def test_fused_matches_bucketed_path(setup):
+    cfg, params, examples, vocab = setup
+    hyp_fused, st_fused = translate_corpus(params, cfg, examples, vocab,
+                                           fused=True)
+    hyp_bucket, _ = translate_corpus(params, cfg, examples, vocab, fused=False)
+    assert st_fused["sentences"] == len(examples)
+    assert hyp_fused == hyp_bucket
+
+
+def test_fused_greedy_matches_bucketed_path(setup):
+    cfg, params, examples, vocab = setup
+    h1, _ = translate_corpus(params, cfg, examples, vocab, beam_size=1,
+                             fused=True)
+    h2, _ = translate_corpus(params, cfg, examples, vocab, beam_size=1,
+                             fused=False)
+    assert h1 == h2
+
+
+def test_text_only_fused_matches_bucketed(setup):
+    cfg, params, examples, vocab = setup
+    cfg_txt = cfg.replace(model=dict(multimodal=False))
+    params_txt = init_params(jax.random.key(1), cfg_txt.model)
+    ex_txt = [Example(src=e.src, index=e.index) for e in examples]
+    h1, _ = translate_corpus(params_txt, cfg_txt, ex_txt, vocab, fused=True)
+    h2, _ = translate_corpus(params_txt, cfg_txt, ex_txt, vocab, fused=False)
+    assert h1 == h2
+
+
+def test_bf16_decode_wellformed(setup):
+    cfg, params, examples, vocab = setup
+    cfg_bf = cfg.replace(model=dict(compute_dtype="bfloat16"))
+    hyps, stats = translate_corpus(params, cfg_bf, examples, vocab)
+    assert len(hyps) == len(examples)
+    # all output units must be real vocab entries (no pads/specials leaking)
+    for h in hyps:
+        for u in h.split():
+            assert u in vocab.stoi, u

@@ -136,9 +136,12 @@ def cmd_train(args) -> None:
     with open(os.path.join(args.out_dir, "config.json"), "w") as f:
         f.write(cfg.to_json())
     logger = MetricsLogger(os.path.join(args.out_dir, "metrics.jsonl"))
-    result = train_loop(cfg, args.out_dir, train_exs, dev_exs, tgt_vocab,
-                        dev_refs, mesh=_mesh_or_none(cfg),
-                        max_steps=args.max_steps, logger=logger)
+    from vag_nmt_tpu.core.profiling import maybe_trace
+
+    with maybe_trace(args.profile_dir):
+        result = train_loop(cfg, args.out_dir, train_exs, dev_exs, tgt_vocab,
+                            dev_refs, mesh=_mesh_or_none(cfg),
+                            max_steps=args.max_steps, logger=logger)
     print(json.dumps(result))
 
 
@@ -162,9 +165,12 @@ def cmd_translate(args) -> None:
     template = create_train_state(jax.random.key(0), cfg)
     ckpt_dir = os.path.join(args.checkpoint, cfg.train.checkpoint_dir)
     state, _ = load_checkpoint(ckpt_dir, args.tag, template)
-    hyps, stats = translate_corpus(
-        state.params, cfg, exs, tgt_vocab,
-        beam_size=args.beam if args.beam is not None else None)
+    from vag_nmt_tpu.core.profiling import maybe_trace
+
+    with maybe_trace(args.profile_dir):
+        hyps, stats = translate_corpus(
+            state.params, cfg, exs, tgt_vocab,
+            beam_size=args.beam if args.beam is not None else None)
     with open(args.output, "w", encoding="utf-8") as f:
         f.write("\n".join(hyps) + "\n")
     print(json.dumps(stats))
@@ -276,6 +282,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true")
     p.add_argument("--max-steps", type=int, default=None)
     p.add_argument("--max-epochs", type=int, default=None)
+    p.add_argument("--profile-dir", default="",
+                   help="write a jax.profiler trace of the run here")
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("translate", help="decode a split to a file")
@@ -285,6 +293,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--split", default="test2016")
     p.add_argument("--output", required=True)
     p.add_argument("--beam", type=int, default=None)
+    p.add_argument("--profile-dir", default="",
+                   help="write a jax.profiler trace of the decode here")
     p.set_defaults(fn=cmd_translate)
 
     p = sub.add_parser("score", help="BLEU (+METEOR) a hypothesis file")

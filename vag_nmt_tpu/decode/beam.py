@@ -4,8 +4,10 @@ The reference's beam loop keeps hypothesis bookkeeping in host Python with a
 device<->host sync every step — its single biggest perf defect. Here the whole
 search is one `lax.while_loop` with fixed (batch, beam) shapes:
 
-- encode ONCE; context/attention projections are tiled to batch*beam rows and
-  never regathered (beams of a sentence share them);
+- encode ONCE; beams of a sentence SHARE the encoder context — attention
+  broadcasts over a separate beam axis instead of tiling ctx/ctx_proj to
+  batch*beam rows, so the encoder state streams from HBM once per sentence
+  per step, not once per beam (K-fold less decode-loop bandwidth);
 - each step: one decoder step over all live rows, top-k over the (beam*vocab)
   candidate grid, and on-device gathers of state/history by beam index;
 - finished hypotheses emit <pad> at log-prob 0 so they ride along frozen and
@@ -36,10 +38,6 @@ class BeamResult(NamedTuple):
     best_lengths: jnp.ndarray  # (B,)
 
 
-def _tile_rows(x: jnp.ndarray, k: int) -> jnp.ndarray:
-    return jnp.repeat(x, k, axis=0)
-
-
 def beam_search(
     params: Dict[str, Any],
     cfg: ModelConfig,
@@ -52,22 +50,15 @@ def beam_search(
     B = state.s0.shape[0]
     K = beam_size
 
-    tiled = DecodeState(
-        ctx=_tile_rows(state.ctx, K),
-        ctx_proj=_tile_rows(state.ctx_proj, K),
-        src_mask=_tile_rows(state.src_mask, K),
-        s0=_tile_rows(state.s0, K),
-    )
-
     def cond(carry):
         t, _, _, _, _, finished, _ = carry
         return (t < max_len) & ~jnp.all(finished)
 
     def body(carry):
         t, last_tok, s, scores, tokens, finished, lengths = carry
-        s_new, logits = decode_step(params, cfg, last_tok.reshape(-1), s, tiled)
+        s_new, logits = decode_step(params, cfg, last_tok, s, state)
         V = logits.shape[-1]
-        logp = jax.nn.log_softmax(logits, axis=-1).reshape(B, K, V)
+        logp = jax.nn.log_softmax(logits, axis=-1)                 # (B, K, V)
         # Finished rows are forced to continue with <pad> at log-prob 0, so
         # they ride along frozen and keep competing in top-k.
         pad_row = jnp.full((V,), NEG_INF, logp.dtype).at[PAD_ID].set(0.0)
@@ -86,7 +77,7 @@ def beam_search(
                 x, beam_idx.reshape(beam_idx.shape + (1,) * (x.ndim - 2)),
                 axis=1)
 
-        s_sel = sel(s_new.reshape(B, K, -1)).reshape(B * K, -1)
+        s_sel = sel(s_new)
         tokens = sel(tokens)
         fin_sel = sel(finished[..., None])[..., 0]
         len_sel = sel(lengths[..., None])[..., 0]
@@ -99,7 +90,8 @@ def beam_search(
     init = (
         jnp.asarray(0, jnp.int32),
         jnp.full((B, K), SOS_ID, jnp.int32),
-        tiled.s0,
+        jnp.broadcast_to(state.s0[:, None, :],
+                         (B, K, state.s0.shape[-1])),
         # Beam 0 active, others at -inf so identical initial beams don't
         # flood the first top-k with duplicates.
         jnp.tile(jnp.asarray([0.0] + [NEG_INF] * (K - 1), jnp.float32), (B, 1)),

@@ -25,8 +25,9 @@ def greedy_decode(
 
     def step(carry, _):
         tok, s, finished, length = carry
-        s_new, logits = decode_step(params, cfg, tok, s, state)
-        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        # K=1 beam axis; encoder state stays per-sentence
+        s_new, logits = decode_step(params, cfg, tok[:, None], s, state)
+        nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
         nxt = jnp.where(finished, PAD_ID, nxt)
         now_finished = finished | (nxt == EOS_ID)
         length = jnp.where(finished, length, length + 1)
@@ -34,7 +35,7 @@ def greedy_decode(
 
     init = (
         jnp.full((B,), SOS_ID, jnp.int32),
-        state.s0,
+        state.s0[:, None, :],
         jnp.zeros((B,), bool),
         jnp.zeros((B,), jnp.int32),
     )

@@ -26,6 +26,7 @@ from vag_nmt_tpu.core.rng import key_for
 from vag_nmt_tpu.models.layers import dropout, embed, init_dense, init_embedding
 from vag_nmt_tpu.ops.attention import (
     bahdanau_attend,
+    bahdanau_attend_beams,
     init_attention_params,
     precompute_ctx_proj,
 )
@@ -63,6 +64,31 @@ def _out_matrix(params: Dict[str, Any], cfg: ModelConfig) -> jnp.ndarray:
     return params["readout"]["w_out"]
 
 
+def _readout_logits(
+    params: Dict[str, Any],
+    cfg: ModelConfig,
+    y_emb: jnp.ndarray,      # (N, E)
+    s_new: jnp.ndarray,      # (N, H)
+    c: jnp.ndarray,          # (N, C)
+    readout_drop_mask: Optional[jnp.ndarray],
+) -> jnp.ndarray:
+    r = params["readout"]
+    t = jnp.tanh(
+        jnp.dot(y_emb, r["wy"], preferred_element_type=jnp.float32)
+        + jnp.dot(s_new, r["ws"], preferred_element_type=jnp.float32)
+        + jnp.dot(c, r["wc"], preferred_element_type=jnp.float32)
+        + r["b"]
+    )
+    if readout_drop_mask is not None:
+        t = t * readout_drop_mask
+    logits = (
+        jnp.dot(t.astype(c.dtype), _out_matrix(params, cfg),
+                preferred_element_type=jnp.float32)
+        + r["b_out"]
+    )
+    return logits.astype(jnp.float32)
+
+
 def step_from_xgates(
     params: Dict[str, Any],
     cfg: ModelConfig,
@@ -75,39 +101,42 @@ def step_from_xgates(
     readout_drop_mask: Optional[jnp.ndarray] = None,  # (N, R) inverted-dropout
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One decoder step. Returns (s_new (N,H), logits (N,V) fp32, attn (N,T))."""
-    r = params["readout"]
     s_tilde = gru_cell_from_xgates(params["gru1"], xg1, s)
     c, w = bahdanau_attend(params["attn"], s_tilde, ctx, ctx_proj, src_mask)
     s_new = gru_cell_from_xgates(
         params["gru2"], gru_gates_from_x(params["gru2"], c), s_tilde)
-    t = jnp.tanh(
-        jnp.dot(y_emb, r["wy"], preferred_element_type=jnp.float32)
-        + jnp.dot(s_new, r["ws"], preferred_element_type=jnp.float32)
-        + jnp.dot(c, r["wc"], preferred_element_type=jnp.float32)
-        + r["b"]
-    )
-    if readout_drop_mask is not None:
-        t = t * readout_drop_mask
-    logits = (
-        jnp.dot(t.astype(ctx.dtype), _out_matrix(params, cfg),
-                preferred_element_type=jnp.float32)
-        + r["b_out"]
-    )
-    return s_new, logits.astype(jnp.float32), w
+    logits = _readout_logits(params, cfg, y_emb, s_new, c, readout_drop_mask)
+    return s_new, logits, w
 
 
-def decode_step(
+def decode_step_beams(
     params: Dict[str, Any],
     cfg: ModelConfig,
-    tok: jnp.ndarray,        # (N,) int32 previous tokens
-    s: jnp.ndarray,
-    ctx: jnp.ndarray,
-    ctx_proj: jnp.ndarray,
-    src_mask: jnp.ndarray,
+    tok: jnp.ndarray,        # (B, K) int32 previous tokens, K beams/sentence
+    s: jnp.ndarray,          # (B, K, H)
+    ctx: jnp.ndarray,        # (B, T, C) — NOT tiled across beams
+    ctx_proj: jnp.ndarray,   # (B, T, A)
+    src_mask: jnp.ndarray,   # (B, T)
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    y = embed(params["embed"], tok).astype(ctx.dtype)
+    """One decoder step for K beams per sentence sharing the encoder state.
+
+    Per-beam work (embeddings, GRU cells, readout) runs on flattened B*K
+    rows; attention broadcasts over the beam axis so ctx/ctx_proj stream
+    from HBM once per sentence, not once per beam (see
+    ops.attention.bahdanau_attend_beams). Greedy decode is the K=1 case.
+    Returns (s_new (B,K,H), logits (B,K,V) fp32, attn (B,K,T))."""
+    B, K = tok.shape
+    H = s.shape[-1]
+    y = embed(params["embed"], tok.reshape(-1)).astype(ctx.dtype)
     xg1 = gru_gates_from_x(params["gru1"], y)
-    return step_from_xgates(params, cfg, y, xg1, s, ctx, ctx_proj, src_mask)
+    s_tilde = gru_cell_from_xgates(params["gru1"], xg1, s.reshape(B * K, H))
+    c, w = bahdanau_attend_beams(
+        params["attn"], s_tilde.reshape(B, K, H), ctx, ctx_proj, src_mask)
+    c_flat = c.reshape(B * K, -1)
+    s_new = gru_cell_from_xgates(
+        params["gru2"], gru_gates_from_x(params["gru2"], c_flat), s_tilde)
+    logits = _readout_logits(params, cfg, y, s_new, c_flat, None)
+    return (s_new.reshape(B, K, H), logits.reshape(B, K, -1), w)
 
 
 def teacher_forced_logits(

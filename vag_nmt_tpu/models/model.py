@@ -150,12 +150,14 @@ def prepare_decode(
 def decode_step(
     params: Params,
     cfg: ModelConfig,
-    tok: jnp.ndarray,       # (N,) previous tokens
-    s: jnp.ndarray,         # (N, H)
-    state: DecodeState,     # fields tiled to N rows
+    tok: jnp.ndarray,       # (B, K) previous tokens, K beams per sentence
+    s: jnp.ndarray,         # (B, K, H)
+    state: DecodeState,     # per-sentence fields, shared across beams
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns (s_new, fp32 logits (N, V))."""
-    s_new, logits, _ = dec.decode_step(
+    """Returns (s_new (B,K,H), fp32 logits (B,K,V)). Encoder state is NOT
+    tiled across beams — attention broadcasts over the beam axis (greedy is
+    the K=1 case)."""
+    s_new, logits, _ = dec.decode_step_beams(
         params["decoder"], cfg, tok, s, state.ctx, state.ctx_proj,
         state.src_mask)
     return s_new, logits

@@ -57,3 +57,26 @@ def bahdanau_attend(
     w = masked_softmax(scores, mask)
     c = jnp.einsum("nt,ntc->nc", w.astype(ctx.dtype), ctx)
     return c, w
+
+
+def bahdanau_attend_beams(
+    params: Params,
+    query: jnp.ndarray,      # (B, K, Q) — K beams per sentence
+    ctx: jnp.ndarray,        # (B, T, C) — NOT tiled across beams
+    ctx_proj: jnp.ndarray,   # (B, T, A)
+    mask: jnp.ndarray,       # (B, T)
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Beam-batched attention sharing the encoder state across beams.
+
+    The tiled formulation (`jnp.repeat` ctx/ctx_proj to B*K rows, then
+    `bahdanau_attend`) re-reads the encoder context from HBM once PER BEAM
+    per decode step. Broadcasting over a separate beam axis instead reads
+    ctx/ctx_proj once per SENTENCE (K-fold less HBM traffic in the decode
+    hot loop) and turns the weighted sum into a batched (K,T)x(T,C) matmul
+    that tiles onto the MXU. Returns ((B, K, C), (B, K, T))."""
+    q = jnp.dot(query, params["ua"], preferred_element_type=jnp.float32)
+    e = jnp.tanh(ctx_proj[:, None, :, :] + q[:, :, None, :] + params["ba"])
+    scores = jnp.einsum("bkta,a->bkt", e, params["va"])
+    w = masked_softmax(scores, mask[:, None, :])
+    c = jnp.einsum("bkt,btc->bkc", w.astype(ctx.dtype), ctx)
+    return c, w
