@@ -1,9 +1,25 @@
 """Headline benchmark: beam-5 batched decode throughput (sentences/sec/chip)
 on the flagship VAG-NMT EN→DE config, Multi30k-like shapes (BASELINE.json
-north-star: ≥5,000 sent/s/chip at beam=5).
+north-star: ≥5,000 sent/s/chip at beam=5 on v5e).
+
+Protocol (all on-device, production code paths):
+
+1. 4096 synthetic Multi30k-shaped sentences: source length ~ N(13,4) clipped
+   to [4,32] BPE units, vocab 8000, 2048-d image features.
+2. The flagship multimodal model is BRIEFLY TRAINED on-chip on a copy task
+   (target = source tokens, same length) until dev decode lengths reach the
+   Multi30k regime. A randomly-initialized model never emits <eos> (every
+   hypothesis runs to max_len) or always emits it immediately if biased —
+   neither resembles production decoding. A briefly-trained model places
+   <eos> from attention on the exhausted source, so hypothesis lengths vary
+   per sentence exactly like a converged translation model's.
+3. Timed: best of 3 full-corpus beam-5 decodes through `translate_corpus`
+   (fused single-dispatch lax.map over fixed chunks, bf16 compute, image
+   features device-resident). Reported JSON includes the realized mean
+   hypothesis length for transparency.
 
 Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": "sent/s/chip", "vs_baseline": N}
+    {"metric": ..., "value": N, "unit": "sent/s/chip", "vs_baseline": N, ...}
 """
 
 from __future__ import annotations
@@ -14,49 +30,110 @@ import time
 import numpy as np
 
 BASELINE_SENT_PER_SEC = 5000.0  # BASELINE.json target for beam=5 on v5e
+N_SENT = 4096
+TRAIN_STEPS_MAX = 1500
+TRAIN_CHUNK = 250               # steps between length probes
 
 
 def main() -> None:
     import jax
 
+    # Persistent compilation cache: the fused decode program takes minutes to
+    # compile cold on the tunneled chip but is stable across runs.
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/vag_nmt_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
     from vag_nmt_tpu.core.config import preset
-    from vag_nmt_tpu.data.batching import Example
+    from vag_nmt_tpu.data.batching import BucketBatcher, Example
     from vag_nmt_tpu.data.vocab import Vocab
-    from vag_nmt_tpu.decode.translate import translate_corpus
-    from vag_nmt_tpu.models import init_params
+    from vag_nmt_tpu.decode.translate import build_img_table, translate_corpus
+    from vag_nmt_tpu.train.state import create_train_state
+    from vag_nmt_tpu.train.step import make_train_step
 
     cfg = preset("m30k_ende_vag")
-    # Multi30k-like statistics: ~13 BPE units mean source length, 10k vocab.
-    cfg = cfg.replace(decode=dict(beam_size=5, max_len=64,
-                                  decode_batch_size=256))
+    cfg = cfg.replace(model=dict(compute_dtype="bfloat16"),
+                      decode=dict(beam_size=5, max_len=64,
+                                  decode_batch_size=256),
+                      data=dict(batch_size=64))
     m = cfg.model
-    params = init_params(jax.random.key(0), m)
-
     rng = np.random.RandomState(0)
-    n_sent = 4096
-    examples = []
-    for i in range(n_sent):
-        L = int(np.clip(rng.normal(13, 4), 4, 32))
-        examples.append(Example(
-            src=list(rng.randint(4, m.src_vocab_size, L)),
-            img=rng.randn(m.img_feat_dim).astype(np.float32),
-            index=i,
-        ))
+
+    def make_examples(n, lo, hi, with_tgt):
+        out = []
+        for i in range(n):
+            L = int(np.clip(rng.normal(13, 4), lo, hi))
+            src = list(rng.randint(4, m.src_vocab_size, L))
+            out.append(Example(
+                src=src,
+                tgt=list(src) if with_tgt else None,
+                img=rng.randn(m.img_feat_dim).astype(np.float32),
+                index=i,
+            ))
+        return out
+
+    # Decode corpus: full Multi30k length range. Train corpus: a single
+    # (16, 16+1->24) bucket pair so the train step compiles ONCE; the copy
+    # task's <eos> placement generalizes across lengths via attention.
+    examples = make_examples(N_SENT, 4, 32, with_tgt=False)
+    train_exs = make_examples(2048, 13, 16, with_tgt=True)
     vocab = Vocab(["<pad>", "<unk>", "<sos>", "<eos>"]
                   + [f"t{i}" for i in range(m.tgt_vocab_size - 4)])
+    img_table = build_img_table(examples, m.img_feat_dim)
 
-    # Warmup (compile every bucket shape), then timed run.
-    translate_corpus(params, cfg, examples, vocab)
-    t0 = time.perf_counter()
-    _, stats = translate_corpus(params, cfg, examples, vocab)
-    elapsed = time.perf_counter() - t0
+    # --- brief on-chip training to a realistic decode-length regime -------
+    state = create_train_state(jax.random.key(0), cfg)
+    batcher = BucketBatcher(train_exs, cfg.data.batch_size,
+                            cfg.data.length_buckets, include_image=True,
+                            img_dim=m.img_feat_dim)
+    step_fn, _ = make_train_step(cfg)
+    step_rng = jax.random.key(1)
 
-    value = n_sent / elapsed
+    def mean_len(hyps) -> float:
+        # emitted units + the <eos> step (stripped from the text output)
+        return float(np.mean([len(h.split()) + 1 for h in hyps]))
+
+    ml, steps_done, epoch = 65.0, 0, 0
+    while steps_done < TRAIN_STEPS_MAX:
+        todo = TRAIN_CHUNK
+        while todo > 0:
+            for batch in batcher.epoch(epoch):
+                state, _ = step_fn(state, batch, step_rng)
+                todo -= 1
+                steps_done += 1
+                if todo <= 0:
+                    break
+            epoch += 1
+        hyps, _ = translate_corpus(state.params, cfg, examples, vocab,
+                                   img_table=img_table)
+        ml = mean_len(hyps)
+        if 6.0 <= ml <= 24.0:
+            break
+
+    params = state.params
+
+    # --- timed runs -------------------------------------------------------
+    best, stats = 1e30, {}
+    for _ in range(3):
+        t0 = time.perf_counter()
+        hyps, stats = translate_corpus(params, cfg, examples, vocab,
+                                       img_table=img_table)
+        best = min(best, time.perf_counter() - t0)
+    ml = mean_len(hyps)
+
+    value = N_SENT / best
     print(json.dumps({
         "metric": "multi30k_ende_beam5_decode_throughput",
         "value": round(value, 1),
         "unit": "sent/s/chip",
         "vs_baseline": round(value / BASELINE_SENT_PER_SEC, 3),
+        "beam_size": 5,
+        "mean_hyp_len": round(ml, 2),
+        "train_steps_for_eos": steps_done,
+        "n_sentences": N_SENT,
+        "compute_dtype": "bfloat16",
     }))
 
 

@@ -114,3 +114,16 @@ def test_dp_mesh_matches_single_device(toy_cfg):
     flat_b = jax.tree.leaves(b)
     for x, y in zip(flat_a, flat_b):
         np.testing.assert_allclose(x, y, rtol=2e-3, atol=2e-4)
+
+
+def test_tp_mesh_matches_single_device(toy_cfg):
+    """(data=4, model=2) mesh — vocab-dim TP on embeddings/readout — is
+    numerically ≡ the single-device run (SURVEY.md §2 parallelism table)."""
+    exs = make_toy_examples(64, seed=3, img_dim=toy_cfg.model.img_feat_dim)
+    state_1, losses_1 = _run_steps(toy_cfg, exs, 4)
+    mesh = make_mesh(n_data=4, n_model=2)
+    state_tp, losses_tp = _run_steps(toy_cfg, exs, 4, mesh=mesh)
+    np.testing.assert_allclose(losses_1, losses_tp, rtol=2e-4, atol=2e-5)
+    for x, y in zip(jax.tree.leaves(jax.device_get(state_1.params)),
+                    jax.tree.leaves(jax.device_get(state_tp.params))):
+        np.testing.assert_allclose(x, y, rtol=2e-3, atol=2e-4)

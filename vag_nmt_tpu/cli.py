@@ -114,6 +114,10 @@ def cmd_preprocess(args) -> None:
 
 
 def cmd_train(args) -> None:
+    if getattr(args, "debug_nans", False):
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
     from vag_nmt_tpu.core.metrics import MetricsLogger
     from vag_nmt_tpu.data.bpe import remove_bpe
     from vag_nmt_tpu.data.datasets import resolve_splits
@@ -284,6 +288,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-epochs", type=int, default=None)
     p.add_argument("--profile-dir", default="",
                    help="write a jax.profiler trace of the run here")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="enable jax_debug_nans (traps the first NaN/Inf "
+                        "produced on device; slow — debugging only)")
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("translate", help="decode a split to a file")

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from vag_nmt_tpu.core.config import EOS_ID, ModelConfig, PAD_ID, SOS_ID
 from vag_nmt_tpu.models.model import DecodeState, decode_step
+from vag_nmt_tpu.ops.pallas_topk import beam_topk
 
 NEG_INF = -1e9
 
@@ -58,17 +59,13 @@ def beam_search(
         t, last_tok, s, scores, tokens, finished, lengths = carry
         s_new, logits = decode_step(params, cfg, last_tok, s, state)
         V = logits.shape[-1]
-        logp = jax.nn.log_softmax(logits, axis=-1)                 # (B, K, V)
-        # Finished rows are forced to continue with <pad> at log-prob 0, so
-        # they ride along frozen and keep competing in top-k.
-        pad_row = jnp.full((V,), NEG_INF, logp.dtype).at[PAD_ID].set(0.0)
-        logp = jnp.where(finished[..., None], pad_row, logp)
-
-        # One top-k over the (K*V)-wide candidate row per sentence: measured
-        # faster on TPU than a per-beam top-k + combine (k*V-wide rows with
-        # fewer rows win; see round-1 perf notes).
-        flat = (scores[..., None] + logp).reshape(B, K * V)
-        top_scores, idx = jax.lax.top_k(flat, K)       # (B, K)
+        # Fused candidate-scoring + top-k: finished rows are forced to
+        # continue with <pad> at log-prob 0 (they ride along frozen and keep
+        # competing), live rows score scores + log-softmax. On TPU this is
+        # ONE streaming Pallas pass over the logits (ops/pallas_topk.py) —
+        # the XLA materialize+reshape+sort top_k was ~55% of device decode
+        # time at (B=256, K=5, V=8000).
+        top_scores, idx = beam_topk(logits, scores, finished)
         beam_idx = idx // V
         tok = (idx % V).astype(jnp.int32)
 

@@ -74,11 +74,21 @@ def train_loop(
     stop = False
     final: Dict[str, float] = {}
 
+    # Dev-set image features live on device for the whole run (re-uploading
+    # per eval costs seconds over a slow host<->device link).
+    dev_img_table = None
+    if cfg.model.multimodal and dev_examples and all(
+            ex.img is not None for ex in dev_examples):
+        from vag_nmt_tpu.decode.translate import build_img_table
+
+        dev_img_table = build_img_table(list(dev_examples),
+                                        cfg.model.img_feat_dim)
+
     def run_eval(state: TrainState, epoch: int) -> Dict[str, float]:
         nonlocal best_bleu, evals_since_best
         hyps, dstats = translate_corpus(
             state.params, cfg, dev_examples, tgt_vocab,
-            beam_size=cfg.decode.beam_size)
+            beam_size=cfg.decode.beam_size, img_table=dev_img_table)
         bleu = corpus_bleu(hyps, list(dev_refs))
         improved = bleu.bleu > best_bleu
         if improved:
