@@ -127,3 +127,20 @@ def test_prepare_decode_shapes(toy_cfg):
     assert st.ctx.shape == (5, 8, m.ctx_dim)
     assert st.s0.shape == (5, m.dec_hidden_dim)
     assert st.ctx_proj.shape == (5, 8, m.attn_dim)
+
+
+def test_two_layer_encoder_and_decode_shapes():
+    """m30k_scaled topology (2-layer bi-GRU) end to end at toy dims."""
+    from vag_nmt_tpu.core.config import preset
+    from vag_nmt_tpu.decode.beam import beam_search
+    from vag_nmt_tpu.models import init_params, loss_fn, prepare_decode
+
+    cfg = preset("toy").replace(model=dict(enc_layers=2)).model
+    params = init_params(jax.random.key(0), cfg)
+    batch = make_batch(preset("toy").replace(model=dict(enc_layers=2)),
+                       B=4, T=6, seed=0)
+    loss, aux = loss_fn(params, cfg, batch, None, train=False)
+    assert np.isfinite(float(loss))
+    state = prepare_decode(params, cfg, batch)
+    res = beam_search(params, cfg, state, beam_size=3, max_len=8)
+    assert res.best_tokens.shape == (4, 8)

@@ -66,12 +66,17 @@ def make_fused_corpus_fn(cfg: Config, beam_size: int, max_len: int,
     per-bucket recompiles disappear from the decode path."""
 
     @partial(jax.jit, static_argnames=())
-    def run(params, src, src_mask, ids, img_table):
+    def run(params, src, src_lens, ids, img_table):
         if cfg.model.compute_dtype == "bfloat16":
             params = cast_floats(params, jnp.bfloat16)
 
         def one(args):
-            s, m, chunk_ids = args
+            s16, lens, chunk_ids = args
+            # src travels uint16 (half the upload bytes on the slow link)
+            # and the pad mask is built on device from per-row lengths.
+            s = s16.astype(jnp.int32)
+            m = (jnp.arange(s.shape[1])[None, :]
+                 < lens[:, None]).astype(jnp.float32)
             batch = {"src": s, "src_mask": m}
             if multimodal:
                 batch["img"] = jnp.take(img_table, chunk_ids, axis=0)
@@ -87,7 +92,7 @@ def make_fused_corpus_fn(cfg: Config, beam_size: int, max_len: int,
             # ~13 MB/s measured); BPE vocabs are always < 65536.
             return toks.astype(jnp.uint16), lens.astype(jnp.int32)
 
-        return jax.lax.map(one, (src, src_mask, ids))
+        return jax.lax.map(one, (src, src_lens, ids))
 
     return run
 
@@ -116,13 +121,22 @@ def _translate_fused(params, cfg, examples, tgt_vocab, beam_size, max_len,
                         cfg.data.length_buckets)
     multimodal = cfg.model.multimodal
 
-    src = np.zeros((nb * B, t_src), np.int32)
-    mask = np.zeros((nb * B, t_src), np.float32)
-    for i, ex in enumerate(examples):
+    # Chunks are built in source-length order: the beam while_loop of a chunk
+    # runs until its LONGEST hypothesis finishes, so homogeneous-length
+    # chunks exit earlier (hypothesis length tracks source length). Corpus
+    # order is restored after the fetch via `order`.
+    order = sorted(range(n), key=lambda i: len(examples[i].src))
+
+    src = np.zeros((nb * B, t_src), np.uint16)
+    lens_in = np.zeros((nb * B,), np.int32)
+    ids = np.zeros((nb * B,), np.int32)
+    for r, i in enumerate(order):
+        ex = examples[i]
         L = min(len(ex.src), t_src)
-        src[i, :L] = ex.src[:L]
-        mask[i, :L] = 1.0
-    ids = np.arange(nb * B, dtype=np.int32) % max(n, 1)
+        src[r, :L] = ex.src[:L]
+        lens_in[r] = L
+        ids[r] = i
+    ids[n:] = order[-1] if n else 0     # filler rows decode a real sentence
     if multimodal:
         if img_table is None:
             img_table = build_img_table(examples, cfg.model.img_feat_dim)
@@ -134,7 +148,7 @@ def _translate_fused(params, cfg, examples, tgt_vocab, beam_size, max_len,
     toks, lens = run(
         params,
         jax.device_put(src.reshape(nb, B, t_src)),
-        jax.device_put(mask.reshape(nb, B, t_src)),
+        jax.device_put(lens_in.reshape(nb, B)),
         jax.device_put(ids.reshape(nb, B)),
         img_table,
     )
@@ -142,10 +156,22 @@ def _translate_fused(params, cfg, examples, tgt_vocab, beam_size, max_len,
     lens = np.asarray(jax.device_get(lens)).reshape(nb * B)
     elapsed = time.perf_counter() - t0
 
-    hyps = []
-    for i in range(n):
-        units = tgt_vocab.decode(toks[i, : lens[i]])
-        hyps.append(" ".join(remove_bpe(units) if de_bpe else units))
+    # Vectorized detok: object-array vocab lookup + string-level de-BPE
+    # (equivalent to bpe.remove_bpe on the unit list).
+    itos = np.asarray(tgt_vocab.itos, dtype=object)
+    special = np.zeros(len(itos), bool)
+    special[[0, 1, 2, 3]] = True
+    special[1] = False                   # keep <unk> like Vocab.decode does
+    hyps: List[str] = [""] * n
+    for r, i in enumerate(order):
+        t = toks[r, : lens[r]].astype(np.int64)
+        t = t[~special[t]]
+        s = " ".join(itos[t])
+        if de_bpe:
+            s = s.replace("@@ ", "")
+            if s.endswith("@@"):
+                s = s[:-2]
+        hyps[i] = s
     stats = {"sentences_per_sec": n / max(elapsed, 1e-9),
              "elapsed_s": elapsed, "sentences": n, "beam_size": beam_size}
     return hyps, stats

@@ -94,3 +94,17 @@ def param_shardings(mesh: Mesh, tree: Any) -> Any:
         NamedSharding(mesh, _spec_for(path_str(kp), use_tp)) for kp, _ in leaves
     ]
     return jax.tree_util.tree_unflatten(treedef, shardings)
+
+
+def host_shard(items, process_index: Optional[int] = None,
+               process_count: Optional[int] = None):
+    """Per-host slice of a corpus for multi-host (DCN) training: host i takes
+    items[i::n_hosts] (SURVEY.md §2 'Multi-host'). With the same pjit program
+    running on every host, each host feeds its shard of the global batch and
+    GSPMD's gradient all-reduce spans hosts transparently. Single-host runs
+    return `items` unchanged."""
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    if pc <= 1:
+        return list(items)
+    return list(items)[pi::pc]
