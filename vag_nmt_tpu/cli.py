@@ -236,6 +236,29 @@ def cmd_retrieval(args) -> None:
     print(json.dumps(retrieval_recall(img, txt)))
 
 
+def cmd_translate_text(args) -> None:
+    from vag_nmt_tpu.decode.serve import Translator
+
+    tr = Translator.from_run(args.checkpoint, data_dir=args.data_dir or None,
+                             tag=args.tag)
+    if args.input == "-":
+        lines = [ln.rstrip("\n") for ln in sys.stdin]
+    else:
+        with open(args.input, encoding="utf-8") as f:
+            lines = [ln.rstrip("\n") for ln in f]
+    images = None
+    if args.features:
+        import numpy as np
+
+        images = np.load(args.features)
+    hyps = tr.translate(lines, images=images, beam_size=args.beam)
+    out = open(args.output, "w", encoding="utf-8") if args.output else sys.stdout
+    for h in hyps:
+        out.write(h + "\n")
+    if args.output:
+        out.close()
+
+
 def cmd_extract_features(args) -> None:
     from vag_nmt_tpu.data.extract_features import extract_to_file
 
@@ -318,6 +341,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tag", default="best", choices=["best", "last"])
     p.add_argument("--split", default="test2017")
     p.set_defaults(fn=cmd_retrieval)
+
+    p = sub.add_parser("translate-text",
+                       help="serving-style: raw text lines -> translations")
+    p.add_argument("--checkpoint", required=True, help="train out-dir")
+    p.add_argument("--data-dir", default="",
+                   help="bpe/vocab artifact dir (default: from saved config)")
+    p.add_argument("--tag", default="best", choices=["best", "last"])
+    p.add_argument("--input", required=True, help="text file, or - for stdin")
+    p.add_argument("--output", default="", help="default: stdout")
+    p.add_argument("--features", default="",
+                   help="optional (N, 2048) .npy aligned with input lines")
+    p.add_argument("--beam", type=int, default=None)
+    p.set_defaults(fn=cmd_translate_text)
 
     p = sub.add_parser("extract-features",
                        help="offline ResNet-50 pool5 features -> .npy")

@@ -1,0 +1,96 @@
+"""Serving-style translation API: raw text in, translated text out.
+
+The reference's public surface decodes preprocessed split files; a production
+user wants to load a trained run once and translate arbitrary strings. The
+`Translator` wraps the full host pipeline (Moses-lite tokenize -> BPE apply,
+C++ fast path when built -> numericalize) around the fused on-device corpus
+decode, reusing the jitted programs across calls (compile caches live on the
+module-level decode closures).
+
+    tr = Translator.from_run("runs/m30k_ende_vag")     # train out-dir
+    tr.translate(["a man rides a bicycle", ...])       # -> German lines
+    tr.translate(lines, images=feats)                  # (N, 2048) pool5 rows
+
+For a multimodal model, pass `images` (one pool5 feature row per line); when
+omitted, zero features are fed — the model still translates (the visual
+branch contributes a neutral grounding vector), matching the reference's
+text-only fallback behavior.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+
+class Translator:
+    def __init__(self, cfg, params, src_bpe, src_vocab, tgt_vocab,
+                 lower: bool = True):
+        self.cfg = cfg
+        self.params = params
+        self.src_bpe = src_bpe
+        self.src_vocab = src_vocab
+        self.tgt_vocab = tgt_vocab
+        self.lower = lower
+
+    @staticmethod
+    def from_run(run_dir: str, data_dir: Optional[str] = None,
+                 tag: str = "best") -> "Translator":
+        """Load config + checkpoint from a train out-dir. `data_dir` (for the
+        bpe/vocab artifacts) defaults to the data dir recorded in the saved
+        config."""
+        import jax
+
+        from vag_nmt_tpu.core.config import Config
+        from vag_nmt_tpu.data.bpe import BPE
+        from vag_nmt_tpu.data.vocab import Vocab
+        from vag_nmt_tpu.train.checkpoint import load_checkpoint
+        from vag_nmt_tpu.train.state import create_train_state
+
+        with open(os.path.join(run_dir, "config.json")) as f:
+            cfg = Config.from_json(f.read())
+        d = data_dir or cfg.data.data_dir
+        src_vocab = Vocab.load(
+            os.path.join(d, f"vocab.{cfg.data.src_lang}.json"))
+        tgt_vocab = Vocab.load(
+            os.path.join(d, f"vocab.{cfg.data.tgt_lang}.json"))
+        cfg = cfg.replace(model={"src_vocab_size": len(src_vocab),
+                                 "tgt_vocab_size": len(tgt_vocab)})
+        bpe_path = os.path.join(d, f"bpe.{cfg.data.src_lang}.json")
+        src_bpe = BPE.load(bpe_path) if os.path.exists(bpe_path) else None
+        template = create_train_state(jax.random.key(0), cfg)
+        state, _ = load_checkpoint(
+            os.path.join(run_dir, cfg.train.checkpoint_dir), tag, template)
+        return Translator(cfg, state.params, src_bpe, src_vocab, tgt_vocab)
+
+    def _encode_line(self, line: str) -> List[int]:
+        from vag_nmt_tpu.data.tokenizer import tokenize
+
+        toks = tokenize(line, lower=self.lower)
+        if self.src_bpe is not None:
+            toks = self.src_bpe.encode_line(" ".join(toks))
+        return self.src_vocab.encode(toks)[: self.cfg.data.max_src_len]
+
+    def translate(
+        self,
+        lines: Sequence[str],
+        images: Optional[np.ndarray] = None,   # (N, img_feat_dim) pool5 rows
+        beam_size: Optional[int] = None,
+    ) -> List[str]:
+        from vag_nmt_tpu.data.batching import Example
+        from vag_nmt_tpu.decode.translate import translate_corpus
+
+        m = self.cfg.model
+        exs = []
+        for i, ln in enumerate(lines):
+            img = None
+            if m.multimodal:
+                img = (np.asarray(images[i], np.float32) if images is not None
+                       else np.zeros((m.img_feat_dim,), np.float32))
+            ids = self._encode_line(ln) or [1]      # <unk> for empty input
+            exs.append(Example(src=ids, img=img, index=i))
+        hyps, _ = translate_corpus(self.params, self.cfg, exs, self.tgt_vocab,
+                                   beam_size=beam_size)
+        return hyps
