@@ -203,7 +203,7 @@ def cmd_retrieval(args) -> None:
 
     from vag_nmt_tpu.data.batching import BucketBatcher
     from vag_nmt_tpu.evaluation.retrieval import retrieval_recall
-    from vag_nmt_tpu.models import embeddings_for_retrieval, init_params
+    from vag_nmt_tpu.models import embeddings_for_retrieval
     from vag_nmt_tpu.train.checkpoint import load_checkpoint
     from vag_nmt_tpu.train.state import create_train_state
 

@@ -17,7 +17,7 @@ from __future__ import annotations
 import dataclasses
 import json
 from dataclasses import dataclass, field
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 # Special token ids — fixed across the framework (SURVEY.md C1).
 PAD_ID = 0
@@ -107,7 +107,9 @@ class DecodeConfig:
     beam_size: int = 5
     max_len: int = 64
     length_norm_alpha: float = 1.0  # score / len**alpha at final ranking [LOW-CONF]
-    decode_batch_size: int = 64
+    # 128 measured best on v5e for fused corpus decode (length-sorted chunks
+    # early-exit at their own max hypothesis length; see bench.py)
+    decode_batch_size: int = 128
 
 
 @dataclass(frozen=True)

@@ -17,11 +17,10 @@ real signal and an overfit run exercises every component end to end.
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 
-from vag_nmt_tpu.core.config import DataConfig
 from vag_nmt_tpu.data.batching import Example
 from vag_nmt_tpu.data.features import load_features
 from vag_nmt_tpu.data.vocab import Vocab

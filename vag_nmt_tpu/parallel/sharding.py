@@ -17,7 +17,7 @@ collectives (over 'model') — there is no explicit NCCL-style backend to write.
 from __future__ import annotations
 
 import re
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import numpy as np

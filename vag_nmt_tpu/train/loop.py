@@ -6,11 +6,9 @@ language pair)."""
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import jax
-import jax.numpy as jnp
-import numpy as np
 
 from vag_nmt_tpu.core.config import Config
 from vag_nmt_tpu.core.metrics import MetricsLogger, StepTimer
