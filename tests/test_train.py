@@ -127,3 +127,32 @@ def test_tp_mesh_matches_single_device(toy_cfg):
     for x, y in zip(jax.tree.leaves(jax.device_get(state_1.params)),
                     jax.tree.leaves(jax.device_get(state_tp.params))):
         np.testing.assert_allclose(x, y, rtol=2e-3, atol=2e-4)
+
+
+def test_img_table_step_matches_direct_img(toy_cfg):
+    """Training with a device-resident feature table + on-device gather is
+    numerically ≡ feeding feature rows in the batch."""
+    from vag_nmt_tpu.decode.translate import build_img_table
+
+    exs = make_toy_examples(48, seed=5, img_dim=toy_cfg.model.img_feat_dim)
+    state_a = create_train_state(jax.random.key(0), toy_cfg)
+    state_b = create_train_state(jax.random.key(0), toy_cfg)
+    rng = jax.random.key(9)
+
+    b_img = BucketBatcher(exs, 16, toy_cfg.data.length_buckets,
+                          include_image=True,
+                          img_dim=toy_cfg.model.img_feat_dim)
+    b_ids = BucketBatcher(exs, 16, toy_cfg.data.length_buckets,
+                          image_ids=True,
+                          img_dim=toy_cfg.model.img_feat_dim)
+    step_a, _ = make_train_step(toy_cfg)
+    step_b, _ = make_train_step(toy_cfg, with_img_table=True)
+    table = build_img_table(exs, toy_cfg.model.img_feat_dim)
+
+    for ba, bb in zip(b_img.epoch(0), b_ids.epoch(0)):
+        state_a, aux_a = step_a(state_a, ba, rng)
+        state_b, aux_b = step_b(state_b, bb, rng, table)
+        np.testing.assert_allclose(float(aux_a["loss"]), float(aux_b["loss"]),
+                                   rtol=1e-6)
+    assert tree_allclose(jax.device_get(state_a.params),
+                         jax.device_get(state_b.params), rtol=1e-6, atol=1e-7)

@@ -54,14 +54,19 @@ class BucketBatcher:
         *,
         seed: int = 0,
         include_image: bool = False,
+        image_ids: bool = False,
         img_dim: int = 2048,
     ):
+        """image_ids=True: batches carry int32 "img_ids" (positions into
+        `examples`, filler rows 0) instead of feature rows — for train/decode
+        paths that gather from a device-resident table (build_img_table)."""
         self.examples = list(examples)
         self.batch_size = batch_size
         self.src_buckets = sorted(src_buckets)
         self.tgt_buckets = sorted(tgt_buckets or src_buckets)
         self.seed = seed
         self.include_image = include_image
+        self.image_ids = image_ids
         self.img_dim = img_dim
 
     def _assign(self) -> Dict[Tuple[int, int], List[int]]:
@@ -84,6 +89,7 @@ class BucketBatcher:
         tgt_mask = np.zeros((B, bt), np.float32)
         sample_mask = np.zeros((B,), np.float32)
         index = np.full((B,), -1, np.int32)
+        img_ids = (np.zeros((B,), np.int32) if self.image_ids else None)
         img = (np.zeros((B, self.img_dim), np.float32)
                if self.include_image else None)
         for r, i in enumerate(idxs):
@@ -102,6 +108,8 @@ class BucketBatcher:
                 tgt_mask[r, : len(t) + 1] = 1.0
             if img is not None and ex.img is not None:
                 img[r] = ex.img
+            if img_ids is not None:
+                img_ids[r] = i
         batch: Batch = {
             "src": src, "src_mask": src_mask,
             "tgt_in": tgt_in, "tgt_out": tgt_out, "tgt_mask": tgt_mask,
@@ -109,6 +117,8 @@ class BucketBatcher:
         }
         if img is not None:
             batch["img"] = img
+        if img_ids is not None:
+            batch["img_ids"] = img_ids
         return batch
 
     def epoch(self, epoch: int = 0, shuffle: bool = True) -> Iterator[Batch]:

@@ -43,13 +43,26 @@ def train_loop(
     ckpt_dir = os.path.join(out_dir, cfg.train.checkpoint_dir)
 
     state = create_train_state(jax.random.key(cfg.train.seed), cfg)
+    # Image features live on device for the whole run; per-step batches carry
+    # int32 row ids and the gather runs on device (feeding ~0.5 MB of pool5
+    # rows per step from the host dominated wall-clock step time).
+    use_table = cfg.model.multimodal and all(
+        ex.img is not None for ex in train_examples)
+    train_img_table = None
+    if use_table:
+        from vag_nmt_tpu.decode.translate import build_img_table
+
+        train_img_table = build_img_table(list(train_examples),
+                                          cfg.model.img_feat_dim)
     batcher = BucketBatcher(
         train_examples, cfg.data.batch_size, cfg.data.length_buckets,
         seed=cfg.data.shuffle_seed,
-        include_image=cfg.model.multimodal, img_dim=cfg.model.img_feat_dim)
+        include_image=cfg.model.multimodal and not use_table,
+        image_ids=use_table, img_dim=cfg.model.img_feat_dim)
 
     example_batch = next(iter(batcher.epoch(0)))
-    step_fn, state_sh = make_train_step(cfg, mesh, state, example_batch)
+    step_fn, state_sh = make_train_step(cfg, mesh, state, example_batch,
+                                        with_img_table=use_table)
     if state_sh is not None:
         state = jax.device_put(state, state_sh)
     sharding = batch_sharding(mesh) if mesh is not None else None
@@ -111,7 +124,10 @@ def train_loop(
         for batch in device_prefetch(batcher.epoch(epoch), size=2,
                                      sharding=sharding):
             timer.start()
-            state, aux = step_fn(state, batch, base_rng)
+            if use_table:
+                state, aux = step_fn(state, batch, base_rng, train_img_table)
+            else:
+                state, aux = step_fn(state, batch, base_rng)
             if int(state.step) % 50 == 1:
                 dt = timer.stop(aux["loss"])
                 log.log("train", step=int(state.step), epoch=epoch,
