@@ -79,46 +79,66 @@ class BucketBatcher:
             groups.setdefault((bs, bt), []).append(i)
         return groups
 
+    def _materialize(self) -> None:
+        """Pad every example into its group's matrices ONCE; per-epoch batch
+        assembly is then a vectorized row gather (the per-row Python fill was
+        ~2/3 of wall-clock step time once device feeds got cheap)."""
+        self._mat: Dict[Tuple[int, int], Dict[str, np.ndarray]] = {}
+        self._row_of: Dict[int, int] = {}
+        for (bs, bt), idxs in self._assign().items():
+            n = len(idxs)
+            g = {
+                "src": np.full((n, bs), PAD_ID, np.int32),
+                "src_mask": np.zeros((n, bs), np.float32),
+                "tgt_in": np.full((n, bt), PAD_ID, np.int32),
+                "tgt_out": np.full((n, bt), PAD_ID, np.int32),
+                "tgt_mask": np.zeros((n, bt), np.float32),
+                "sample_mask": np.ones((n,), np.float32),
+                "index": np.zeros((n,), np.int32),
+            }
+            if self.include_image:
+                g["img"] = np.zeros((n, self.img_dim), np.float32)
+            if self.image_ids:
+                g["img_ids"] = np.zeros((n,), np.int32)
+            for r, i in enumerate(idxs):
+                ex = self.examples[i]
+                self._row_of[i] = r
+                L = min(len(ex.src), bs)
+                g["src"][r, :L] = ex.src[:L]
+                g["src_mask"][r, :L] = 1.0
+                g["index"][r] = ex.index if ex.index >= 0 else i
+                if ex.tgt is not None:
+                    t = ex.tgt[: bt - 1]
+                    g["tgt_in"][r, 0] = SOS_ID
+                    g["tgt_in"][r, 1: 1 + len(t)] = t
+                    g["tgt_out"][r, : len(t)] = t
+                    g["tgt_out"][r, len(t)] = EOS_ID
+                    g["tgt_mask"][r, : len(t) + 1] = 1.0
+                if self.include_image and ex.img is not None:
+                    g["img"][r] = ex.img
+                if self.image_ids:
+                    g["img_ids"][r] = i
+            self._mat[(bs, bt)] = g
+
     def _make_batch(self, idxs: Sequence[int], bs: int, bt: int) -> Batch:
+        if not hasattr(self, "_mat"):
+            self._materialize()
         B = self.batch_size
         n = len(idxs)
-        src = np.full((B, bs), PAD_ID, np.int32)
-        src_mask = np.zeros((B, bs), np.float32)
-        tgt_in = np.full((B, bt), PAD_ID, np.int32)
-        tgt_out = np.full((B, bt), PAD_ID, np.int32)
-        tgt_mask = np.zeros((B, bt), np.float32)
-        sample_mask = np.zeros((B,), np.float32)
-        index = np.full((B,), -1, np.int32)
-        img_ids = (np.zeros((B,), np.int32) if self.image_ids else None)
-        img = (np.zeros((B, self.img_dim), np.float32)
-               if self.include_image else None)
-        for r, i in enumerate(idxs):
-            ex = self.examples[i]
-            L = min(len(ex.src), bs)
-            src[r, :L] = ex.src[:L]
-            src_mask[r, :L] = 1.0
-            sample_mask[r] = 1.0
-            index[r] = ex.index if ex.index >= 0 else i
-            if ex.tgt is not None:
-                t = ex.tgt[: bt - 1]
-                tgt_in[r, 0] = SOS_ID
-                tgt_in[r, 1: 1 + len(t)] = t
-                tgt_out[r, : len(t)] = t
-                tgt_out[r, len(t)] = EOS_ID
-                tgt_mask[r, : len(t) + 1] = 1.0
-            if img is not None and ex.img is not None:
-                img[r] = ex.img
-            if img_ids is not None:
-                img_ids[r] = i
-        batch: Batch = {
-            "src": src, "src_mask": src_mask,
-            "tgt_in": tgt_in, "tgt_out": tgt_out, "tgt_mask": tgt_mask,
-            "sample_mask": sample_mask, "index": index,
-        }
-        if img is not None:
-            batch["img"] = img
-        if img_ids is not None:
-            batch["img_ids"] = img_ids
+        g = self._mat[(bs, bt)]
+        rows = np.fromiter((self._row_of[i] for i in idxs), np.int64, n)
+        batch: Batch = {}
+        for key, m in g.items():
+            got = m[rows]
+            if n < B:        # pad short final batches to the fixed shape
+                full = np.zeros((B,) + m.shape[1:], m.dtype)
+                if key in ("src", "tgt_in", "tgt_out"):
+                    full[:] = PAD_ID
+                elif key == "index":
+                    full[:] = -1
+                full[:n] = got
+                got = full
+            batch[key] = got
         return batch
 
     def epoch(self, epoch: int = 0, shuffle: bool = True) -> Iterator[Batch]:
