@@ -78,11 +78,12 @@ def main() -> None:
             ))
         return out
 
-    # Decode corpus: full Multi30k length range. Train corpus: a single
-    # (16, 16+1->24) bucket pair so the train step compiles ONCE; the copy
-    # task's <eos> placement generalizes across lengths via attention.
+    # Decode corpus: full Multi30k length range. Train corpus: lengths
+    # 13..15 so src bucket = 16 and tgt_in (len+1 <= 16) bucket = 16 — ONE
+    # batch shape, ONE train-step compile; the copy task's <eos> placement
+    # generalizes across lengths via attention.
     examples = make_examples(N_SENT, 4, 32, with_tgt=False)
-    train_exs = make_examples(2048, 13, 16, with_tgt=True)
+    train_exs = make_examples(2048, 13, 15, with_tgt=True)
     vocab = Vocab(["<pad>", "<unk>", "<sos>", "<eos>"]
                   + [f"t{i}" for i in range(m.tgt_vocab_size - 4)])
     img_table = build_img_table(examples, m.img_feat_dim)

@@ -69,3 +69,41 @@ def test_bf16_decode_wellformed(setup):
     for h in hyps:
         for u in h.split():
             assert u in vocab.stoi, u
+
+
+def test_sliced_examples_with_stale_indices(setup):
+    """A slice keeping original .index values must decode in LIST order on
+    both paths (the bucketed path used to scatter by .index and crash)."""
+    cfg, params, examples, vocab = setup
+    sl = examples[10:30]                      # .index values 10..29
+    h_f, _ = translate_corpus(params, cfg, sl, vocab, fused=True)
+    h_b, _ = translate_corpus(params, cfg, sl, vocab, fused=False)
+    assert h_f == h_b and len(h_f) == 20
+    full, _ = translate_corpus(params, cfg, examples, vocab, fused=True)
+    assert h_f == full[10:30]
+
+
+def test_img_table_allows_examples_without_img(setup):
+    """With a caller-built device table, examples may carry img=None."""
+    from vag_nmt_tpu.data.batching import Example
+    from vag_nmt_tpu.decode.translate import build_img_table
+
+    cfg, params, examples, vocab = setup
+    tbl = build_img_table(examples, cfg.model.img_feat_dim)
+    bare = [Example(src=e.src, index=i) for i, e in enumerate(examples)]
+    h_tbl, _ = translate_corpus(params, cfg, bare, vocab, img_table=tbl)
+    h_ref, _ = translate_corpus(params, cfg, examples, vocab)
+    assert h_tbl == h_ref
+    h_tbl_b, _ = translate_corpus(params, cfg, bare, vocab, img_table=tbl,
+                                  fused=False)
+    assert h_tbl_b == h_ref
+
+
+def test_multimodal_without_features_raises(setup):
+    from vag_nmt_tpu.data.batching import Example
+
+    cfg, params, examples, vocab = setup
+    bare = [Example(src=e.src, index=i) for i, e in enumerate(examples)]
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="features"):
+        translate_corpus(params, cfg, bare, vocab)

@@ -61,10 +61,11 @@ def beam_search(
         V = logits.shape[-1]
         # Fused candidate-scoring + top-k: finished rows are forced to
         # continue with <pad> at log-prob 0 (they ride along frozen and keep
-        # competing), live rows score scores + log-softmax. On TPU this is
-        # ONE streaming Pallas pass over the logits (ops/pallas_topk.py) —
-        # the XLA materialize+reshape+sort top_k was ~55% of device decode
-        # time at (B=256, K=5, V=8000).
+        # competing), live rows score scores + log-softmax. Default impl is
+        # the XLA path (candidates + lax.top_k); a streaming Pallas kernel
+        # with identical results ships behind VAG_TOPK_IMPL=pallas — see
+        # ops/pallas_topk.py's module doc for the measured in-context
+        # comparison.
         top_scores, idx = beam_topk(logits, scores, finished)
         beam_idx = idx // V
         tok = (idx % V).astype(jnp.int32)

@@ -83,6 +83,13 @@ class Translator:
         from vag_nmt_tpu.decode.translate import translate_corpus
 
         m = self.cfg.model
+        if images is not None:
+            images = np.asarray(images, np.float32)
+            if images.ndim != 2 or images.shape[0] != len(lines) \
+                    or images.shape[1] != m.img_feat_dim:
+                raise ValueError(
+                    f"images must be ({len(lines)}, {m.img_feat_dim}) — one "
+                    f"pool5 row per input line — got {images.shape}")
         exs = []
         for i, ln in enumerate(lines):
             img = None

@@ -7,6 +7,7 @@ throughput (sentences/sec) with a device fence."""
 
 from __future__ import annotations
 
+import dataclasses
 import time
 from functools import lru_cache, partial
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -127,6 +128,13 @@ def _translate_fused(params, cfg, examples, tgt_vocab, beam_size, max_len,
     # order is restored after the fetch via `order`.
     order = sorted(range(n), key=lambda i: len(examples[i].src))
 
+    if (cfg.model.src_vocab_size > 65535
+            or cfg.model.tgt_vocab_size > 65535):
+        raise ValueError(
+            "fused decode transports token ids as uint16; vocab sizes must "
+            f"be < 65536 (got src={cfg.model.src_vocab_size}, "
+            f"tgt={cfg.model.tgt_vocab_size})")
+
     src = np.zeros((nb * B, t_src), np.uint16)
     lens_in = np.zeros((nb * B,), np.int32)
     ids = np.zeros((nb * B,), np.int32)
@@ -136,7 +144,13 @@ def _translate_fused(params, cfg, examples, tgt_vocab, beam_size, max_len,
         src[r, :L] = ex.src[:L]
         lens_in[r] = L
         ids[r] = i
-    ids[n:] = order[-1] if n else 0     # filler rows decode a real sentence
+    if n and n < nb * B:
+        # Filler rows replicate the last real row (src AND features): an
+        # all-masked empty source may never emit <eos>, which would force the
+        # final chunk's while_loop to run all max_len steps.
+        src[n:] = src[n - 1]
+        lens_in[n:] = lens_in[n - 1]
+        ids[n:] = ids[n - 1]
     if multimodal:
         if img_table is None:
             img_table = build_img_table(examples, cfg.model.img_feat_dim)
@@ -190,41 +204,45 @@ def translate_corpus(
     fused: bool = True,
     img_table: Optional[jax.Array] = None,
 ) -> Tuple[List[str], Dict[str, float]]:
-    """Returns (hypothesis lines in corpus order, stats incl. sentences/sec).
+    """Returns (hypothesis lines in EXAMPLE-LIST ORDER — hyps[i] translates
+    examples[i] — plus stats incl. sentences/sec). Both the fused (default)
+    and the bucketed (fused=False) path honor this contract.
 
     img_table: optional device-resident feature table from build_img_table
     (row i = examples[i]); pass it when decoding the same corpus repeatedly
-    to skip the per-call host->device feature upload."""
+    to skip the per-call host->device feature upload. With a table, examples
+    may carry img=None."""
     beam_size = beam_size if beam_size is not None else cfg.decode.beam_size
     max_len = max_len if max_len is not None else cfg.decode.max_len
     batch_size = (batch_size if batch_size is not None
                   else cfg.decode.decode_batch_size)
 
     img_ok = (not cfg.model.multimodal
+              or img_table is not None
               or all(ex.img is not None for ex in examples))
-    if fused and examples and img_ok:
+    if cfg.model.multimodal and not img_ok:
+        raise ValueError(
+            "multimodal decode needs features: either every example carries "
+            ".img or a device-resident img_table is passed")
+    if fused and examples:
         return _translate_fused(params, cfg, examples, tgt_vocab, beam_size,
                                 max_len, batch_size, de_bpe,
                                 img_table=img_table)
 
-    # Ship ALL image features to the device once; per-batch feeds then carry
-    # only int32 row ids and the gather happens on-device.
-    img_table = None
-    use_table = (cfg.model.multimodal
-                 and all(ex.img is not None for ex in examples))
-    if use_table:
-        # Table rows live in corpus-index space so batch["index"] doubles as
-        # the gather id (filler rows carry -1 -> clamped to 0, masked out).
-        n_rows = 1 + max(ex.index if ex.index >= 0 else i
-                         for i, ex in enumerate(examples))
-        tbl = np.zeros((n_rows, cfg.model.img_feat_dim), np.float32)
-        for i, ex in enumerate(examples):
-            tbl[ex.index if ex.index >= 0 else i] = ex.img
-        img_table = jax.device_put(tbl)
+    # Bucketed path (per-bucket-shape programs). Image features live on the
+    # device once; per-batch feeds carry int32 row ids (positions into
+    # `examples`, same keying as build_img_table) and the gather runs on
+    # device.
+    use_table = cfg.model.multimodal
+    if use_table and img_table is None:
+        img_table = build_img_table(examples, cfg.model.img_feat_dim)
+    # Re-index by list position so output ordering and table rows agree
+    # regardless of the examples' own .index values.
+    positioned = [dataclasses.replace(ex, index=i)
+                  for i, ex in enumerate(examples)]
     batcher = BucketBatcher(
-        examples, batch_size, cfg.data.length_buckets,
-        include_image=cfg.model.multimodal and not use_table,
-        img_dim=cfg.model.img_feat_dim)
+        positioned, batch_size, cfg.data.length_buckets,
+        image_ids=use_table, img_dim=cfg.model.img_feat_dim)
     decode = make_decode_fn(cfg, beam_size, max_len)
 
     n = len(examples)
@@ -234,17 +252,10 @@ def translate_corpus(
     # Keep device results in flight and fetch at the end: each device_get
     # pays a fixed round-trip latency, so per-batch synchronous gets would
     # serialize transfers with compute.
-    def batches():
-        for b in batcher.epoch(0, shuffle=False):
-            if use_table:
-                b = dict(b)
-                b["img_ids"] = np.maximum(b["index"], 0).astype(np.int32)
-            yield b
-
     pending = []
-    for batch in device_prefetch(batches(), size=2):
+    for batch in device_prefetch(batcher.epoch(0, shuffle=False), size=2):
         feed = {k: v for k, v in batch.items() if k not in ("index",)}
-        toks, lens = decode(params, feed, img_table)
+        toks, lens = decode(params, feed, img_table if use_table else None)
         pending.append((toks, lens, batch["index"], batch["sample_mask"]))
     for toks, lens, index, smask in pending:
         toks, lens, index, smask = map(
