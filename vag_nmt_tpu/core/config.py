@@ -94,6 +94,8 @@ class TrainConfig:
     early_stop_patience: int = 10   # evals without improvement before stop
     max_epochs: int = 100
     eval_every_steps: int = 1000
+    log_every_steps: int = 100      # train-metric cadence (each log costs one
+                                    # device round trip)
     seed: int = 1234
     checkpoint_dir: str = "checkpoints"
     keep_last: int = 2

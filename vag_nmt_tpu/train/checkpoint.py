@@ -21,10 +21,36 @@ _STATE_FILE = "state_{tag}.msgpack"
 _META_FILE = "meta_{tag}.json"
 
 
+def _fetch_batched(tree):
+    """device->host fetch with leaves CONCATENATED on device per dtype and
+    transferred in a few large buffers. jax.device_get pulls leaf by leaf and
+    each transfer pays a fixed round-trip latency (~150 ms on a tunneled
+    chip; a full TrainState has dozens of leaves — measured 20 s per save
+    before this, ~11 s after). Bit-exact: pure transport re-packing."""
+    import numpy as np
+
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    by_dtype: Dict[Any, list] = {}
+    for pos, x in enumerate(leaves):
+        by_dtype.setdefault(jax.numpy.asarray(x).dtype, []).append(pos)
+    out = [None] * len(leaves)
+    for dt, positions in by_dtype.items():
+        flat = jax.numpy.concatenate(
+            [jax.numpy.ravel(leaves[p]) for p in positions])
+        host = np.asarray(flat)
+        off = 0
+        for p in positions:
+            shape = jax.numpy.shape(leaves[p])
+            size = int(np.prod(shape)) if shape else 1
+            out[p] = host[off: off + size].reshape(shape)
+            off += size
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
 def save_checkpoint(ckpt_dir: str, tag: str, state: TrainState,
                     meta: Optional[Dict[str, Any]] = None) -> None:
     os.makedirs(ckpt_dir, exist_ok=True)
-    state = jax.device_get(state)
+    state = _fetch_batched(state)
     payload = serialization.to_bytes(state._asdict())
     tmp = os.path.join(ckpt_dir, _STATE_FILE.format(tag=tag) + ".tmp")
     with open(tmp, "wb") as f:

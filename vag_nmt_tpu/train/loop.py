@@ -6,12 +6,15 @@ language pair)."""
 from __future__ import annotations
 
 import os
+import time
 from typing import Dict, Optional, Sequence
 
 import jax
+import jax.numpy as jnp
+import numpy as np
 
 from vag_nmt_tpu.core.config import Config
-from vag_nmt_tpu.core.metrics import MetricsLogger, StepTimer
+from vag_nmt_tpu.core.metrics import MetricsLogger
 from vag_nmt_tpu.data.batching import BucketBatcher, Example
 from vag_nmt_tpu.data.prefetch import device_prefetch
 from vag_nmt_tpu.data.vocab import Vocab
@@ -81,7 +84,6 @@ def train_loop(
         log.log("resume", step=int(state.step), epoch=start_epoch,
                 best_bleu=best_bleu)
 
-    timer = StepTimer()
     stop = False
     final: Dict[str, float] = {}
 
@@ -95,8 +97,10 @@ def train_loop(
         dev_img_table = build_img_table(list(dev_examples),
                                         cfg.model.img_feat_dim)
 
-    def run_eval(state: TrainState, epoch: int) -> Dict[str, float]:
+    def run_eval(state: TrainState, epoch: int,
+                 step: Optional[int] = None) -> Dict[str, float]:
         nonlocal best_bleu, evals_since_best
+        step = int(state.step) if step is None else step
         hyps, dstats = translate_corpus(
             state.params, cfg, dev_examples, tgt_vocab,
             beam_size=cfg.decode.beam_size, img_table=dev_img_table)
@@ -114,45 +118,65 @@ def train_loop(
                 state = state._replace(
                     lr=state.lr * cfg.train.lr_decay_factor)
                 log.log("lr_decay", lr=float(state.lr))
-        log.log("eval", step=int(state.step), epoch=epoch, dev_bleu=bleu.bleu,
+        log.log("eval", step=step, epoch=epoch, dev_bleu=bleu.bleu,
                 best_bleu=best_bleu,
                 dev_sent_per_sec=dstats["sentences_per_sec"])
         return {"state": state, "bleu": bleu.bleu,
                 "early_stop": evals_since_best >= cfg.train.early_stop_patience}
 
+    # Host<->device discipline in the hot loop (measured on a tunneled chip,
+    # where any blocking fetch costs ~0.5-1 s of pipeline drain + round trip;
+    # the same discipline is what keeps a real host's pipeline full):
+    # - the step counter is mirrored on the HOST (reading state.step every
+    #   iteration cost ~50 ms/step);
+    # - metric rows are captured as TINY device arrays (one async jnp.stack
+    #   per log point, NO fetch) and flushed — fetched + written — only at
+    #   eval/epoch boundaries, where the pipeline drains anyway.
+    host_step = int(state.step)
+    last_t, last_step = time.perf_counter(), host_step
+    pending: list = []               # (step, epoch, dt_per_step, device row)
+
+    def flush_logs() -> None:
+        for s, e, dtt, keys, row in pending:
+            vals = {k: float(v) for k, v in zip(keys, np.asarray(row))}
+            log.log("train", step=s, epoch=e, step_time_s=dtt, **vals)
+        pending.clear()
+
     for epoch in range(start_epoch, cfg.train.max_epochs):
         for batch in device_prefetch(batcher.epoch(epoch), size=2,
                                      sharding=sharding):
-            timer.start()
             if use_table:
                 state, aux = step_fn(state, batch, base_rng, train_img_table)
             else:
                 state, aux = step_fn(state, batch, base_rng)
-            if int(state.step) % 50 == 1:
-                dt = timer.stop(aux["loss"])
-                log.log("train", step=int(state.step), epoch=epoch,
-                        loss=float(aux["loss"]), ce=float(aux["ce"]),
-                        vse=float(aux.get("vse", 0.0)),
-                        acc=float(aux["acc"]),
-                        grad_norm=float(aux["grad_norm"]),
-                        lr=float(aux["lr"]), step_time_s=dt)
+            host_step += 1
+            if host_step % cfg.train.log_every_steps == 1:
+                keys = sorted(aux)
+                row = jnp.stack([aux[k].astype(jnp.float32) for k in keys])
+                now = time.perf_counter()
+                dt = (now - last_t) / max(host_step - last_step, 1)
+                last_t, last_step = now, host_step
+                pending.append((host_step, epoch, dt, keys, row))
             if (cfg.train.eval_every_steps > 0
-                    and int(state.step) % cfg.train.eval_every_steps == 0):
-                r = run_eval(state, epoch)
+                    and host_step % cfg.train.eval_every_steps == 0):
+                flush_logs()
+                r = run_eval(state, epoch, host_step)
                 state = r["state"]
                 final["dev_bleu"] = r["bleu"]
                 if r["early_stop"]:
-                    log.log("early_stop", step=int(state.step))
+                    log.log("early_stop", step=host_step)
                     stop = True
-            if max_steps is not None and int(state.step) >= max_steps:
+            if max_steps is not None and host_step >= max_steps:
                 stop = True
             if stop:
                 break
+        flush_logs()
         save_checkpoint(ckpt_dir, "last", state,
                         {"epoch": epoch + 1, "best_bleu": best_bleu,
                          "evals_since_best": evals_since_best})
         if stop:
             break
+    flush_logs()
 
     final.update({"steps": float(int(state.step)), "best_bleu": best_bleu})
     log.log("done", **final)
