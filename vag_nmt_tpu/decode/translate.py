@@ -154,6 +154,12 @@ def _translate_fused(params, cfg, examples, tgt_vocab, beam_size, max_len,
     if multimodal:
         if img_table is None:
             img_table = build_img_table(examples, cfg.model.img_feat_dim)
+        elif img_table.shape[0] < n:
+            # XLA gathers CLAMP out-of-range ids — a short table would
+            # silently decode with the wrong features.
+            raise ValueError(
+                f"img_table has {img_table.shape[0]} rows for {n} examples "
+                "(row i must be examples[i]'s features)")
     else:
         img_table = jnp.zeros((1, 1), jnp.float32)
 

@@ -21,12 +21,17 @@ _STATE_FILE = "state_{tag}.msgpack"
 _META_FILE = "meta_{tag}.json"
 
 
+_FETCH_CHUNK_ELEMS = 1 << 26        # ~256 MB fp32 per transient buffer
+
+
 def _fetch_batched(tree):
     """device->host fetch with leaves CONCATENATED on device per dtype and
     transferred in a few large buffers. jax.device_get pulls leaf by leaf and
     each transfer pays a fixed round-trip latency (~150 ms on a tunneled
     chip; a full TrainState has dozens of leaves — measured 20 s per save
-    before this, ~11 s after). Bit-exact: pure transport re-packing."""
+    before this, ~11 s after). Concatenation is CHUNKED so the transient
+    device buffer stays bounded (~256 MB) instead of doubling the fp32 state
+    in HBM. Bit-exact: pure transport re-packing."""
     import numpy as np
 
     leaves, treedef = jax.tree_util.tree_flatten(tree)
@@ -35,15 +40,31 @@ def _fetch_batched(tree):
         by_dtype.setdefault(jax.numpy.asarray(x).dtype, []).append(pos)
     out = [None] * len(leaves)
     for dt, positions in by_dtype.items():
-        flat = jax.numpy.concatenate(
-            [jax.numpy.ravel(leaves[p]) for p in positions])
-        host = np.asarray(flat)
-        off = 0
+        chunk: list = []
+        elems = 0
+
+        def flush(chunk_positions):
+            nonlocal out
+            if not chunk_positions:
+                return
+            flat = jax.numpy.concatenate(
+                [jax.numpy.ravel(leaves[p]) for p in chunk_positions])
+            host = np.asarray(flat)
+            off = 0
+            for p in chunk_positions:
+                shape = jax.numpy.shape(leaves[p])
+                size = int(np.prod(shape)) if shape else 1
+                out[p] = host[off: off + size].reshape(shape)
+                off += size
+
         for p in positions:
-            shape = jax.numpy.shape(leaves[p])
-            size = int(np.prod(shape)) if shape else 1
-            out[p] = host[off: off + size].reshape(shape)
-            off += size
+            sz = max(int(np.prod(jax.numpy.shape(leaves[p]) or (1,))), 1)
+            if chunk and elems + sz > _FETCH_CHUNK_ELEMS:
+                flush(chunk)
+                chunk, elems = [], 0
+            chunk.append(p)
+            elems += sz
+        flush(chunk)
     return jax.tree_util.tree_unflatten(treedef, out)
 
 

@@ -88,10 +88,14 @@ def train_loop(
     final: Dict[str, float] = {}
 
     # Dev-set image features live on device for the whole run (re-uploading
-    # per eval costs seconds over a slow host<->device link).
+    # per eval costs seconds over a slow host<->device link). Missing dev
+    # features fail HERE, not after eval_every_steps of wasted training.
     dev_img_table = None
-    if cfg.model.multimodal and dev_examples and all(
-            ex.img is not None for ex in dev_examples):
+    if cfg.model.multimodal and dev_examples:
+        if not all(ex.img is not None for ex in dev_examples):
+            raise ValueError(
+                "multimodal training needs dev-set image features for the "
+                "periodic BLEU eval (dev examples are missing .img)")
         from vag_nmt_tpu.decode.translate import build_img_table
 
         dev_img_table = build_img_table(list(dev_examples),
@@ -134,49 +138,75 @@ def train_loop(
     #   eval/epoch boundaries, where the pipeline drains anyway.
     host_step = int(state.step)
     last_t, last_step = time.perf_counter(), host_step
+    log_mod = 1 % max(cfg.train.log_every_steps, 1)
     pending: list = []               # (step, epoch, dt_per_step, device row)
 
     def flush_logs() -> None:
-        for s, e, dtt, keys, row in pending:
-            vals = {k: float(v) for k, v in zip(keys, np.asarray(row))}
-            log.log("train", step=s, epoch=e, step_time_s=dtt, **vals)
+        if not pending:
+            return
+        # ONE transfer for all buffered rows (per-row fetches each pay a
+        # round trip; the row count per flush is stable, so the stack
+        # program compiles once)
+        rows = np.asarray(jnp.stack([row for _, _, _, _, row in pending]))
+        for (s, e, dtt, keys, _), vals in zip(pending, rows):
+            log.log("train", step=s, epoch=e, step_time_s=dtt,
+                    **{k: float(v) for k, v in zip(keys, vals)})
         pending.clear()
 
-    for epoch in range(start_epoch, cfg.train.max_epochs):
-        for batch in device_prefetch(batcher.epoch(epoch), size=2,
-                                     sharding=sharding):
-            if use_table:
-                state, aux = step_fn(state, batch, base_rng, train_img_table)
-            else:
-                state, aux = step_fn(state, batch, base_rng)
-            host_step += 1
-            if host_step % cfg.train.log_every_steps == 1:
-                keys = sorted(aux)
-                row = jnp.stack([aux[k].astype(jnp.float32) for k in keys])
-                now = time.perf_counter()
-                dt = (now - last_t) / max(host_step - last_step, 1)
-                last_t, last_step = now, host_step
-                pending.append((host_step, epoch, dt, keys, row))
-            if (cfg.train.eval_every_steps > 0
-                    and host_step % cfg.train.eval_every_steps == 0):
-                flush_logs()
-                r = run_eval(state, epoch, host_step)
-                state = r["state"]
-                final["dev_bleu"] = r["bleu"]
-                if r["early_stop"]:
-                    log.log("early_stop", step=host_step)
+    def reset_timer() -> None:
+        # Call after anything that isn't training steps (eval, checkpoint,
+        # compile) so step_time_s reflects only the steps in the window.
+        nonlocal last_t, last_step
+        last_t, last_step = time.perf_counter(), host_step
+
+    try:
+        for epoch in range(start_epoch, cfg.train.max_epochs):
+            for batch in device_prefetch(batcher.epoch(epoch), size=2,
+                                         sharding=sharding):
+                if use_table:
+                    state, aux = step_fn(state, batch, base_rng,
+                                         train_img_table)
+                else:
+                    state, aux = step_fn(state, batch, base_rng)
+                host_step += 1
+                if host_step % cfg.train.log_every_steps == log_mod:
+                    keys = sorted(aux)
+                    row = jnp.stack([aux[k].astype(jnp.float32)
+                                     for k in keys])
+                    now = time.perf_counter()
+                    dt = (now - last_t) / max(host_step - last_step, 1)
+                    last_t, last_step = now, host_step
+                    pending.append((host_step, epoch, dt, keys, row))
+                if (cfg.train.eval_every_steps > 0
+                        and host_step % cfg.train.eval_every_steps == 0):
+                    flush_logs()
+                    r = run_eval(state, epoch, host_step)
+                    state = r["state"]
+                    final["dev_bleu"] = r["bleu"]
+                    if r["early_stop"]:
+                        log.log("early_stop", step=host_step)
+                        stop = True
+                    reset_timer()
+                if max_steps is not None and host_step >= max_steps:
                     stop = True
-            if max_steps is not None and host_step >= max_steps:
-                stop = True
+                if stop:
+                    break
+            flush_logs()
+            save_checkpoint(ckpt_dir, "last", state,
+                            {"epoch": epoch + 1, "best_bleu": best_bleu,
+                             "evals_since_best": evals_since_best})
+            reset_timer()
             if stop:
                 break
-        flush_logs()
-        save_checkpoint(ckpt_dir, "last", state,
-                        {"epoch": epoch + 1, "best_bleu": best_bleu,
-                         "evals_since_best": evals_since_best})
-        if stop:
-            break
-    flush_logs()
+    finally:
+        # A crash mid-epoch must not discard the buffered loss/grad rows —
+        # they are exactly what diagnoses the failure. (Suppressed errors:
+        # if the device itself died, the fetch fails too and the original
+        # exception must not be masked.)
+        try:
+            flush_logs()
+        except Exception:
+            pass
 
     final.update({"steps": float(int(state.step)), "best_bleu": best_bleu})
     log.log("done", **final)
