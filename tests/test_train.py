@@ -156,3 +156,13 @@ def test_img_table_step_matches_direct_img(toy_cfg):
                                    rtol=1e-6)
     assert tree_allclose(jax.device_get(state_a.params),
                          jax.device_get(state_b.params), rtol=1e-6, atol=1e-7)
+
+
+def test_bf16_training_converges(toy_cfg):
+    """compute_dtype=bfloat16 trains: loss finite and decreasing (params
+    stay fp32; activations/matmuls run bf16 with fp32 accumulation)."""
+    cfg = toy_cfg.replace(model=dict(compute_dtype="bfloat16"))
+    exs = make_toy_examples(64, seed=11, img_dim=cfg.model.img_feat_dim)
+    _, losses = _run_steps(cfg, exs, 30)
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
