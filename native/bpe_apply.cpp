@@ -17,6 +17,7 @@
 //
 // Build: make -C native   (g++ -O3 -shared -fPIC)
 
+#include <cctype>
 #include <cstring>
 #include <string>
 #include <unordered_map>
@@ -134,11 +135,15 @@ void bpe_free(void* h) { delete static_cast<Bpe*>(h); }
 long bpe_encode_line(void* h, const char* line, char* out, long cap) {
     Bpe* b = static_cast<Bpe*>(h);
     std::string res;
+    // Delimiters mirror Python str.split() for ASCII whitespace (space, \t,
+    // \n, \r, \v, \f). Unicode spaces (e.g. U+00A0) are NOT delimiters here;
+    // callers in bpe.py feed ' '.join(tokens), so parity holds on the public
+    // path, and the Python oracle remains authoritative for exotic input.
     const char* p = line;
     while (*p) {
-        while (*p == ' ' || *p == '\t') ++p;
+        while (*p && isspace(static_cast<unsigned char>(*p))) ++p;
         const char* start = p;
-        while (*p && *p != ' ' && *p != '\t') ++p;
+        while (*p && !isspace(static_cast<unsigned char>(*p))) ++p;
         if (p == start) continue;
         std::string units = segment_word(*b, std::string(start, p - start));
         if (units.empty()) continue;

@@ -1,0 +1,77 @@
+"""train_loop behavior tests (SURVEY.md C11): end-to-end toy run, resume
+metadata semantics on mid-epoch stops, missing-feature failure, host_shard."""
+
+import json
+import os
+
+import pytest
+
+from vag_nmt_tpu.core.config import preset
+from vag_nmt_tpu.data.batching import Example
+from vag_nmt_tpu.data.datasets import make_toy_examples, toy_vocab
+from vag_nmt_tpu.parallel.sharding import host_shard
+from vag_nmt_tpu.train.loop import train_loop
+
+
+def _toy_setup(n_train=64, n_dev=16):
+    cfg = preset("toy").replace(train=dict(eval_every_steps=0))
+    train = make_toy_examples(n_train, seed=0, img_dim=cfg.model.img_feat_dim)
+    dev = make_toy_examples(n_dev, seed=1, img_dim=cfg.model.img_feat_dim)
+    vocab = toy_vocab()
+    refs = [" ".join(vocab.itos[t] for t in ex.tgt) for ex in dev]
+    return cfg, train, dev, vocab, refs
+
+
+def _steps_per_epoch(cfg, train):
+    from vag_nmt_tpu.data.batching import BucketBatcher
+
+    b = BucketBatcher(train, cfg.data.batch_size, cfg.data.length_buckets,
+                      seed=cfg.data.shuffle_seed)
+    return len(list(b.epoch(0)))
+
+
+def test_loop_runs_and_checkpoints(tmp_path):
+    cfg, train, dev, vocab, refs = _toy_setup()
+    spe = _steps_per_epoch(cfg, train)
+    stop_at = spe + 1                 # one batch INTO epoch 1
+    out = train_loop(cfg, str(tmp_path), train, dev, vocab, refs,
+                     max_steps=stop_at)
+    assert out["steps"] == float(stop_at)
+    ckpt = tmp_path / cfg.train.checkpoint_dir
+    assert (ckpt / "state_last.msgpack").exists()
+    meta = json.loads((ckpt / "meta_last.json").read_text())
+    # Stopping mid epoch 1 must record epoch 1 (not 2): claiming the
+    # interrupted epoch completed would skip its unvisited batches on resume.
+    assert meta["epoch"] == 1
+    assert meta["step"] == stop_at
+
+
+def test_loop_resume_continues_from_interrupted_epoch(tmp_path):
+    cfg, train, dev, vocab, refs = _toy_setup()
+    train_loop(cfg, str(tmp_path), train, dev, vocab, refs, max_steps=10)
+    cfg_r = cfg.replace(train=dict(resume=True, eval_every_steps=0))
+    out = train_loop(cfg_r, str(tmp_path), train, dev, vocab, refs,
+                     max_steps=18)
+    # resumed at epoch 2 with step counter 10; epochs 2..n add 4 steps each
+    assert out["steps"] == 18.0
+    meta = json.loads(
+        (tmp_path / cfg.train.checkpoint_dir / "meta_last.json").read_text())
+    assert meta["step"] == 18
+
+
+def test_loop_raises_on_missing_train_image(tmp_path):
+    cfg, train, dev, vocab, refs = _toy_setup()
+    broken = list(train)
+    ex = broken[3]
+    broken[3] = Example(src=ex.src, tgt=ex.tgt, img=None, index=ex.index)
+    with pytest.raises(ValueError, match="missing .img"):
+        train_loop(cfg, str(tmp_path), broken, dev, vocab, refs, max_steps=2)
+
+
+def test_host_shard_partitions_and_single_host_identity():
+    items = list(range(10))
+    assert host_shard(items, 0, 1) == items
+    shards = [host_shard(items, i, 3) for i in range(3)]
+    assert shards[1] == [1, 4, 7]
+    assert sorted(x for s in shards for x in s) == items
+    assert not (set(shards[0]) & set(shards[1]))

@@ -98,7 +98,9 @@ class TrainConfig:
                                     # device round trip)
     seed: int = 1234
     checkpoint_dir: str = "checkpoints"
-    keep_last: int = 2
+    # Checkpoint retention is fixed: a "best" (by dev BLEU, mirroring the
+    # reference's best-model save) and a "last" (for resume) tag, each
+    # overwritten atomically. No rotating history — deliberate, not a knob.
     resume: bool = False
 
 

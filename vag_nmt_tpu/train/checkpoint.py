@@ -70,27 +70,37 @@ def _fetch_batched(tree):
 
 def save_checkpoint(ckpt_dir: str, tag: str, state: TrainState,
                     meta: Optional[Dict[str, Any]] = None) -> None:
+    """State + meta are bundled in ONE msgpack file replaced atomically, so a
+    crash can never pair a new state with stale meta (a stale best_bleu would
+    let a worse model overwrite "best"; a stale epoch would re-run or skip an
+    epoch on resume). The JSON sidecar is a human-readable mirror only, also
+    written atomically; load ignores it when the bundle carries meta."""
     os.makedirs(ckpt_dir, exist_ok=True)
     state = _fetch_batched(state)
+    meta = {"step": int(state.step), **(meta or {})}
     payload = serialization.to_bytes(state._asdict())
-    tmp = os.path.join(ckpt_dir, _STATE_FILE.format(tag=tag) + ".tmp")
+    bundle = serialization.msgpack_serialize(
+        {"state_bytes": payload, "meta_json": json.dumps(meta)})
+    state_path = os.path.join(ckpt_dir, _STATE_FILE.format(tag=tag))
+    tmp = state_path + ".tmp"
     with open(tmp, "wb") as f:
-        f.write(payload)
-    os.replace(tmp, os.path.join(ckpt_dir, _STATE_FILE.format(tag=tag)))
-    with open(os.path.join(ckpt_dir, _META_FILE.format(tag=tag)), "w") as f:
-        json.dump({"step": int(state.step), **(meta or {})}, f)
+        f.write(bundle)
+    os.replace(tmp, state_path)
+    meta_path = os.path.join(ckpt_dir, _META_FILE.format(tag=tag))
+    with open(meta_path + ".tmp", "w") as f:
+        json.dump(meta, f)
+    os.replace(meta_path + ".tmp", meta_path)
 
 
 def load_checkpoint(ckpt_dir: str, tag: str,
                     template: TrainState) -> Tuple[TrainState, Dict[str, Any]]:
     """Restore into the structure of `template` (from create_train_state)."""
     with open(os.path.join(ckpt_dir, _STATE_FILE.format(tag=tag)), "rb") as f:
-        restored = serialization.from_bytes(template._asdict(), f.read())
-    meta_path = os.path.join(ckpt_dir, _META_FILE.format(tag=tag))
-    meta: Dict[str, Any] = {}
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            meta = json.load(f)
+        raw = f.read()
+    bundle = serialization.msgpack_restore(raw)
+    meta = json.loads(bundle["meta_json"])
+    restored = serialization.from_bytes(template._asdict(),
+                                        bytes(bundle["state_bytes"]))
     return TrainState(**restored), meta
 
 

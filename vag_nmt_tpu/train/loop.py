@@ -49,10 +49,17 @@ def train_loop(
     # Image features live on device for the whole run; per-step batches carry
     # int32 row ids and the gather runs on device (feeding ~0.5 MB of pool5
     # rows per step from the host dominated wall-clock step time).
-    use_table = cfg.model.multimodal and all(
-        ex.img is not None for ex in train_examples)
+    use_table = cfg.model.multimodal
     train_img_table = None
     if use_table:
+        missing = sum(ex.img is None for ex in train_examples)
+        if missing:
+            # Silently feeding all-zero pool5 rows into the VSE loss would
+            # poison the grounding objective with no signal to the user —
+            # fail like the dev-set check below does.
+            raise ValueError(
+                f"multimodal training needs image features for every train "
+                f"example; {missing}/{len(train_examples)} are missing .img")
         from vag_nmt_tpu.decode.translate import build_img_table
 
         train_img_table = build_img_table(list(train_examples),
@@ -60,7 +67,6 @@ def train_loop(
     batcher = BucketBatcher(
         train_examples, cfg.data.batch_size, cfg.data.length_buckets,
         seed=cfg.data.shuffle_seed,
-        include_image=cfg.model.multimodal and not use_table,
         image_ids=use_table, img_dim=cfg.model.img_feat_dim)
 
     example_batch = next(iter(batcher.epoch(0)))
@@ -161,6 +167,7 @@ def train_loop(
 
     try:
         for epoch in range(start_epoch, cfg.train.max_epochs):
+            interrupted = False
             for batch in device_prefetch(batcher.epoch(epoch), size=2,
                                          sharding=sharding):
                 if use_table:
@@ -190,10 +197,16 @@ def train_loop(
                 if max_steps is not None and host_step >= max_steps:
                     stop = True
                 if stop:
+                    interrupted = True
                     break
             flush_logs()
+            # A mid-epoch stop (max_steps / early stop) must record the
+            # CURRENT epoch: resume is epoch-granular, so claiming epoch+1
+            # would skip the unvisited remainder. Re-seeing some batches on
+            # resume beats never seeing them.
             save_checkpoint(ckpt_dir, "last", state,
-                            {"epoch": epoch + 1, "best_bleu": best_bleu,
+                            {"epoch": epoch if interrupted else epoch + 1,
+                             "best_bleu": best_bleu,
                              "evals_since_best": evals_since_best})
             reset_timer()
             if stop:
