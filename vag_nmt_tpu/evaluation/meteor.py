@@ -1,73 +1,442 @@
-"""METEOR scoring (SURVEY.md C14) — the flagged exact-parity risk.
+"""METEOR-1.5 scoring (SURVEY.md C14; reference behavior: spawn the Java
+METEOR-1.5 jar per SURVEY §3.3 — reference mount empty, no file:line).
 
-The reference spawns the Java METEOR-1.5 jar. Two paths here:
+Two paths:
 
-1. If the jar is available (``METEOR_JAR`` env var or an explicit path),
-   spawn ``java -jar meteor.jar hyp ref -l <lang> -norm`` and parse its final
-   score — exact parity.
-2. Otherwise a pure-Python approximation: greedy unigram alignment in two
-   stages (exact match, then language-crude suffix-stem match), standard
-   METEOR harmonic mean + fragmentation penalty. Parameters are the classic
-   METEOR defaults (alpha=0.9, beta=3.0, gamma=0.5), NOT the per-language
-   tuned METEOR-1.5 weights — expect small deviations; treat python-mode
-   scores as relative, not citable. SURVEY.md §7 hard-part 3.
+1. Jar oracle: when METEOR_JAR (env or argument) points at a jar and java
+   exists, spawn ``java -jar meteor.jar hyp ref -l <lang> -norm`` and parse
+   its final score — bitwise the reference's number.
+2. Pure-Python METEOR-1.5 reimplementation (this module), faithful to the
+   published algorithm (Denkowski & Lavie 2011/2014):
+
+   - Matcher modules in METEOR's priority order: **exact**, **stem**
+     (Snowball stemmers — the same algorithm family as the jar's
+     org.tartarus.snowball — via nltk for en/de/fr), **synonym** (WordNet;
+     active only if the nltk wordnet corpus is installed), **paraphrase**
+     (phrase table loaded from METEOR's plain-text format when provided via
+     ``METEOR_PARAPHRASE`` or the ``paraphrase_file`` argument).
+   - Alignment by beam search over hypothesis positions, resolving ties the
+     way METEOR documents: maximize covered words, then minimize chunk
+     count, then minimize the sum of absolute match distances.
+   - Scoring with per-language tuned parameters (alpha, beta, gamma, delta,
+     module weights) and content/function-word discounting (delta), corpus
+     score computed from summed sufficient statistics — the jar's
+     aggregation, NOT a mean of sentence scores.
+
+   Remaining deltas vs the jar, stated for honesty: the per-language
+   function-word lists and paraphrase tables are DATA files shipped with the
+   jar; this module embeds a compact function-word list (high-frequency
+   closed-class words + punctuation) and runs without paraphrases unless a
+   table is supplied. With identical data files the algorithm matches; keep
+   the jar as oracle for publication-grade numbers.
 """
 
 from __future__ import annotations
 
+import gzip
 import os
 import re
 import subprocess
 import tempfile
-from typing import List, Optional, Sequence
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
 
-ALPHA, BETA, GAMMA = 0.9, 3.0, 0.5
-_SUFFIXES = ("erinnen", "erin", "ungen", "ung", "tion", "ment", "ness", "ches",
-             "che", "ers", "er", "es", "en", "e", "s", "n")
-
-
-def _stem(tok: str) -> str:
-    for s in _SUFFIXES:
-        if tok.endswith(s) and len(tok) - len(s) >= 3:
-            return tok[: -len(s)]
-    return tok
+# --------------------------------------------------------------------------
+# Per-language tuned parameters. Source: METEOR-1.5 default ("rank") task
+# parameter files (Denkowski & Lavie, "Meteor 1.3" Table / Meteor Universal).
+# weights = (exact, stem, synonym, paraphrase).
+# [LOW-CONF exact decimals — recalled from the public release, unverifiable
+# offline; cross-check against the jar's Parameters files when available.]
 
 
-def _align(hyp: List[str], ref: List[str]):
-    """Greedy two-stage alignment. Returns list of (hyp_idx, ref_idx)."""
-    matches = []
-    used_h, used_r = set(), set()
-    for keyfn in (lambda t: t, _stem):
-        ref_map = {}
-        for j, r in enumerate(ref):
-            if j not in used_r:
-                ref_map.setdefault(keyfn(r), []).append(j)
-        for i, h in enumerate(hyp):
-            if i in used_h:
+@dataclass(frozen=True)
+class MeteorParams:
+    alpha: float
+    beta: float
+    gamma: float
+    delta: float
+    weights: Tuple[float, float, float, float]
+
+
+LANG_PARAMS: Dict[str, MeteorParams] = {
+    "en": MeteorParams(0.85, 0.20, 0.60, 0.75, (1.0, 0.60, 0.80, 0.60)),
+    "de": MeteorParams(0.95, 1.00, 0.55, 0.55, (1.0, 0.80, 0.0, 0.40)),
+    "fr": MeteorParams(0.90, 1.40, 0.60, 0.65, (1.0, 0.20, 0.0, 0.40)),
+    # METEOR's language-independent ("other") setting: exact + paraphrase.
+    "other": MeteorParams(0.70, 1.40, 0.30, 0.70, (1.0, 0.0, 0.0, 0.40)),
+}
+
+_SNOWBALL_LANG = {"en": "english", "de": "german", "fr": "french"}
+
+# Compact closed-class function-word sets (approximating METEOR's
+# data/function/<lang>.words frequency-derived lists; see module docstring).
+_FUNCTION_WORDS: Dict[str, frozenset] = {
+    "en": frozenset(
+        "a an the this that these those some any each every no "
+        "i you he she it we they me him her us them my your his its our "
+        "their mine yours hers ours theirs myself yourself himself herself "
+        "itself ourselves themselves who whom whose which what "
+        "and or but nor so yet both either neither not only also too very "
+        "of in on at by for with about against between into through during "
+        "before after above below to from up down out off over under again "
+        "as if than because while although though since until unless "
+        "be am is are was were been being have has had having do does did "
+        "doing will would shall should can could may might must "
+        "there here when where why how all most more less few many much "
+        "own same such just even still".split()),
+    "de": frozenset(
+        "der die das dem den des ein eine einen einem einer eines "
+        "ich du er sie es wir ihr mich dich ihn uns euch mir dir ihm "
+        "mein dein sein ihre ihrem ihren ihrer ihres meine meinem meinen "
+        "meiner meines deine seinem seinen seiner seines unser euer "
+        "und oder aber sondern denn doch nur auch noch schon sehr nicht "
+        "kein keine keinen keinem keiner keines "
+        "in im an am auf bei mit nach von vom zu zum zur aus für durch "
+        "gegen ohne um über unter vor hinter neben zwischen seit bis "
+        "als wenn weil dass daß ob obwohl während bevor nachdem "
+        "bin bist ist sind seid war warst waren wart gewesen "
+        "habe hast hat haben habt hatte hatten gehabt "
+        "werde wirst wird werden werdet wurde wurden geworden "
+        "kann kannst können könnt konnte konnten "
+        "muss musst müssen müsst musste mussten "
+        "will willst wollen wollt wollte wollten "
+        "soll sollst sollen sollt sollte sollten "
+        "darf darfst dürfen dürft durfte durften "
+        "mag magst mögen mögt mochte mochten "
+        "da dort hier wo wann warum wie wer wen wem wessen was "
+        "dies diese diesem diesen dieser dieses jene jener jenes "
+        "alle allem allen aller alles man sich es".split()),
+    "fr": frozenset(
+        "le la les l un une des du de d au aux "
+        "je tu il elle on nous vous ils elles me te se moi toi lui leur "
+        "eux y en ce c cette ces cet celui celle ceux celles ça cela "
+        "mon ma mes ton ta tes son sa ses notre nos votre vos leurs "
+        "et ou mais donc or ni car ne pas plus moins très aussi bien "
+        "dans sur sous avec sans pour par entre vers chez depuis pendant "
+        "avant après contre malgré selon "
+        "que qui quoi dont où quand comment pourquoi si comme "
+        "suis es est sommes êtes sont étais était étions étiez étaient "
+        "été être ai as a avons avez ont avais avait avions aviez avaient "
+        "eu avoir serai seras sera serons serez seront "
+        "peux peut pouvons pouvez peuvent pouvait "
+        "dois doit devons devez doivent devait "
+        "veux veut voulons voulez veulent voulait "
+        "fais fait faisons faites font faisait "
+        "tout toute tous toutes quel quelle quels quelles "
+        "même autre autres chaque quelque quelques".split()),
+}
+_PUNCT = frozenset(".,;:!?\"'`()[]{}-–—«»…")
+
+_BEAM = 40  # matches METEOR's aligner beam width
+
+
+def _normalize(line: str, lowercase: bool = True) -> List[str]:
+    """METEOR ``-norm``-style normalization of an already-detokenized or
+    tokenized line: split punctuation off word boundaries, lowercase."""
+    if lowercase:
+        line = line.lower()
+    line = re.sub(r"([^\W\d_])([.,;:!?\"')\]}])", r"\1 \2", line, flags=re.U)
+    line = re.sub(r"([.,;:!?\"'(\[{])([^\W\d_])", r"\1 \2", line, flags=re.U)
+    return line.split()
+
+
+class _Stemmer:
+    """Snowball stemmer with a cache (stemming dominates runtime otherwise)."""
+
+    def __init__(self, lang: str):
+        self._cache: Dict[str, str] = {}
+        self._stem = None
+        sb = _SNOWBALL_LANG.get(lang)
+        if sb is not None:
+            from nltk.stem.snowball import SnowballStemmer
+
+            self._stem = SnowballStemmer(sb).stem
+
+    def __call__(self, tok: str) -> Optional[str]:
+        if self._stem is None:
+            return None
+        out = self._cache.get(tok)
+        if out is None:
+            out = self._cache[tok] = self._stem(tok)
+        return out
+
+
+def _load_wordnet():
+    """WordNet synsets (English synonym module) — only if the nltk corpus is
+    installed locally; METEOR enables this module for English only."""
+    try:
+        from nltk.corpus import wordnet
+
+        wordnet.synsets("test")  # force the lazy corpus load / fail fast
+        return wordnet
+    except Exception:
+        return None
+
+
+def load_paraphrases(path: str) -> Dict[Tuple[str, ...], set]:
+    """METEOR paraphrase table: lines of ``phrase1 ||| phrase2`` (plain or
+    .gz). Returns phrase -> set of paraphrase phrases (tuples of tokens)."""
+    table: Dict[Tuple[str, ...], set] = {}
+    op = gzip.open if path.endswith(".gz") else open
+    with op(path, "rt", encoding="utf-8") as f:
+        for ln in f:
+            parts = [p.strip() for p in ln.split("|||")]
+            if len(parts) < 2 or not parts[0] or not parts[1]:
                 continue
-            cands = ref_map.get(keyfn(h))
-            if cands:
-                j = cands.pop(0)
-                matches.append((i, j))
-                used_h.add(i)
-                used_r.add(j)
-    return sorted(matches)
+            a, b = tuple(parts[0].split()), tuple(parts[1].split())
+            table.setdefault(a, set()).add(b)
+            table.setdefault(b, set()).add(a)
+    return table
 
 
-def _chunks(matches) -> int:
-    if not matches:
-        return 0
-    ch = 1
-    for (h0, r0), (h1, r1) in zip(matches, matches[1:]):
-        if h1 != h0 + 1 or r1 != r0 + 1:
+# --------------------------------------------------------------------------
+# Alignment
+
+
+@dataclass
+class _Match:
+    """One potential match: hyp span [h, h+hn) <-> ref span [r, r+rn) found
+    by `module` (0=exact 1=stem 2=syn 3=par). Offline modules are word-level
+    (hn == rn == 1); paraphrase matches may cover phrases."""
+
+    h: int
+    r: int
+    hn: int
+    rn: int
+    module: int
+
+
+def _possible_matches(hyp, ref, stemmer, wordnet, paraphrases,
+                      weights) -> List[List[_Match]]:
+    """Per-hyp-position candidate matches, module priority order."""
+    ref_exact: Dict[str, List[int]] = {}
+    for j, w in enumerate(ref):
+        ref_exact.setdefault(w, []).append(j)
+    ref_stem: Dict[str, List[int]] = {}
+    if weights[1] > 0 and stemmer is not None:
+        for j, w in enumerate(ref):
+            s = stemmer(w)
+            if s:
+                ref_stem.setdefault(s, []).append(j)
+
+    syn_sets: Dict[str, set] = {}
+    if weights[2] > 0 and wordnet is not None:
+        def synset(w):
+            out = syn_sets.get(w)
+            if out is None:
+                out = {lem.name().lower() for s in wordnet.synsets(w)
+                       for lem in s.lemmas()}
+                out.add(w)
+                syn_sets[w] = out
+            return out
+
+    cands: List[List[_Match]] = [[] for _ in hyp]
+    for i, w in enumerate(hyp):
+        seen_r = set()
+        for j in ref_exact.get(w, ()):
+            cands[i].append(_Match(i, j, 1, 1, 0))
+            seen_r.add(j)
+        if weights[1] > 0 and stemmer is not None:
+            s = stemmer(w)
+            if s:
+                for j in ref_stem.get(s, ()):
+                    if j not in seen_r:
+                        cands[i].append(_Match(i, j, 1, 1, 1))
+                        seen_r.add(j)
+        if weights[2] > 0 and wordnet is not None:
+            ws = synset(w)
+            for j, rw in enumerate(ref):
+                if j not in seen_r and rw in ws:
+                    cands[i].append(_Match(i, j, 1, 1, 2))
+                    seen_r.add(j)
+        if weights[3] > 0 and paraphrases:
+            # phrases starting at i (longest first, up to 4 tokens)
+            for hn in range(min(4, len(hyp) - i), 0, -1):
+                phr = tuple(hyp[i:i + hn])
+                for alt in paraphrases.get(phr, ()):
+                    rn = len(alt)
+                    for j in range(len(ref) - rn + 1):
+                        if tuple(ref[j:j + rn]) == alt and (hn > 1 or rn > 1
+                                                            or j not in seen_r):
+                            cands[i].append(_Match(i, j, hn, rn, 3))
+    return cands
+
+
+@dataclass
+class _State:
+    used_r: int = 0            # ref-coverage bitmask
+    matches: List[_Match] = field(default_factory=list)
+    covered: int = 0           # hyp+ref words covered (coverage objective)
+    chunks: int = 0
+    dist: int = 0
+    last_h: int = -2
+    last_r: int = -2
+    min_h: int = 0             # first hyp index not covered by a phrase match
+
+    def key(self):
+        return (-self.covered, self.chunks, self.dist)
+
+
+def _align(hyp: List[str], ref: List[str], cands: List[List[_Match]]
+           ) -> List[_Match]:
+    """Beam search over hyp positions; METEOR's documented tie-breaking:
+    max covered words, then min chunks, then min total |h - r| distance."""
+    beam = [_State()]
+    i = 0
+    n = len(hyp)
+    while i < n:
+        nxt: Dict[int, _State] = {}
+
+        def push(s: _State):
+            k = (s.used_r, s.min_h)
+            cur = nxt.get(k)
+            if cur is None or s.key() < cur.key():
+                nxt[k] = s
+
+        for s in beam:
+            push(_State(s.used_r, s.matches, s.covered, s.chunks, s.dist,
+                        s.last_h, s.last_r, s.min_h))  # skip hyp word i
+            if i < s.min_h:      # inside an accepted phrase match's span
+                continue
+            for m in cands[i]:
+                mask = 0
+                for j in range(m.r, m.r + m.rn):
+                    mask |= 1 << j
+                if s.used_r & mask:
+                    continue
+                contiguous = (m.h == s.last_h + 1 and m.r == s.last_r + 1
+                              and m.hn == 1 and m.rn == 1)
+                push(_State(
+                    s.used_r | mask, s.matches + [m],
+                    s.covered + m.hn + m.rn,
+                    s.chunks + (0 if contiguous and s.matches else 1),
+                    s.dist + abs(m.h - m.r),
+                    m.h + m.hn - 1, m.r + m.rn - 1, m.h + m.hn))
+        beam = sorted(nxt.values(), key=_State.key)[:_BEAM]
+        i += 1
+    return min(beam, key=_State.key).matches
+
+
+# --------------------------------------------------------------------------
+# Scoring
+
+
+@dataclass
+class MeteorStats:
+    """Sufficient statistics, summable across segments (the jar's corpus
+    aggregation). Per module: content/function matched-word counts on each
+    side; plus weighted lengths, raw match totals, and chunk count."""
+
+    m_h: List[float] = field(default_factory=lambda: [0.0] * 8)  # (mod, c/f)
+    m_r: List[float] = field(default_factory=lambda: [0.0] * 8)
+    len_h_c: int = 0
+    len_h_f: int = 0
+    len_r_c: int = 0
+    len_r_f: int = 0
+    matches_h: int = 0          # raw matched hyp words (penalty denominator)
+    matches_r: int = 0
+    chunks: int = 0
+
+    def add(self, o: "MeteorStats") -> None:
+        for k in range(8):
+            self.m_h[k] += o.m_h[k]
+            self.m_r[k] += o.m_r[k]
+        self.len_h_c += o.len_h_c
+        self.len_h_f += o.len_h_f
+        self.len_r_c += o.len_r_c
+        self.len_r_f += o.len_r_f
+        self.matches_h += o.matches_h
+        self.matches_r += o.matches_r
+        self.chunks += o.chunks
+
+
+def _segment_stats(hyp: List[str], ref: List[str], scorer) -> MeteorStats:
+    st = MeteorStats()
+    is_f = scorer.is_function
+    st.len_h_f = sum(1 for w in hyp if is_f(w))
+    st.len_h_c = len(hyp) - st.len_h_f
+    st.len_r_f = sum(1 for w in ref if is_f(w))
+    st.len_r_c = len(ref) - st.len_r_f
+    cands = _possible_matches(hyp, ref, scorer.stemmer, scorer.wordnet,
+                              scorer.paraphrases, scorer.params.weights)
+    matches = _align(hyp, ref, cands)
+    for m in matches:
+        for i in range(m.h, m.h + m.hn):
+            st.m_h[2 * m.module + (1 if is_f(hyp[i]) else 0)] += 1
+        for j in range(m.r, m.r + m.rn):
+            st.m_r[2 * m.module + (1 if is_f(ref[j]) else 0)] += 1
+        st.matches_h += m.hn
+        st.matches_r += m.rn
+    # chunk count: contiguous runs in BOTH sentences (recompute over the
+    # final alignment in hyp order; phrase matches are single chunks)
+    ch, last_h, last_r = 0, -2, -2
+    for m in sorted(matches, key=lambda m: m.h):
+        if not (m.h == last_h + 1 and m.r == last_r + 1
+                and m.hn == 1 and m.rn == 1):
             ch += 1
-    return ch
+        last_h, last_r = m.h + m.hn - 1, m.r + m.rn - 1
+    # identical special case: full 1-chunk cover of both sides -> no penalty
+    st.chunks = 0 if (ch == 1 and st.matches_h == len(hyp)
+                      and st.matches_r == len(ref)) else ch
+    return st
 
 
-def _sentence_stats(hyp: List[str], ref: List[str]):
-    matches = _align(hyp, ref)
-    m = len(matches)
-    return m, _chunks(matches), len(hyp), len(ref)
+def score_from_stats(st: MeteorStats, p: MeteorParams) -> float:
+    """METEOR-1.5 score formula on (possibly summed) sufficient stats."""
+    w, d = p.weights, p.delta
+    wm_h = sum(w[k] * (d * st.m_h[2 * k] + (1 - d) * st.m_h[2 * k + 1])
+               for k in range(4))
+    wm_r = sum(w[k] * (d * st.m_r[2 * k] + (1 - d) * st.m_r[2 * k + 1])
+               for k in range(4))
+    wl_h = d * st.len_h_c + (1 - d) * st.len_h_f
+    wl_r = d * st.len_r_c + (1 - d) * st.len_r_f
+    if wm_h == 0 or wm_r == 0 or wl_h == 0 or wl_r == 0:
+        return 0.0
+    prec = wm_h / wl_h
+    rec = wm_r / wl_r
+    fmean = prec * rec / (p.alpha * prec + (1 - p.alpha) * rec)
+    avg_matches = 0.5 * (st.matches_h + st.matches_r)
+    frag = st.chunks / avg_matches if avg_matches > 0 else 0.0
+    return fmean * (1.0 - p.gamma * frag ** p.beta)
+
+
+class MeteorScorer:
+    """Reusable scorer (stemmer/wordnet/paraphrase setup done once)."""
+
+    def __init__(self, lang: str = "en",
+                 paraphrase_file: Optional[str] = None,
+                 lowercase: bool = True):
+        self.lang = lang if lang in LANG_PARAMS else "other"
+        self.params = LANG_PARAMS[self.lang]
+        self.lowercase = lowercase
+        self.stemmer = _Stemmer(lang)
+        self.wordnet = _load_wordnet() if (lang == "en" and
+                                           self.params.weights[2] > 0) else None
+        paraphrase_file = paraphrase_file or os.environ.get(
+            "METEOR_PARAPHRASE", "")
+        self.paraphrases = (load_paraphrases(paraphrase_file)
+                            if paraphrase_file and
+                            os.path.exists(paraphrase_file) else {})
+        fw = _FUNCTION_WORDS.get(lang, frozenset())
+        self._function = fw | _PUNCT
+
+    def is_function(self, tok: str) -> bool:
+        return tok in self._function
+
+    def sentence_stats(self, hyp: str, ref: str) -> MeteorStats:
+        return _segment_stats(_normalize(hyp, self.lowercase),
+                              _normalize(ref, self.lowercase), self)
+
+    def sentence_score(self, hyp: str, ref: str) -> float:
+        return score_from_stats(self.sentence_stats(hyp, ref), self.params)
+
+    def corpus_score(self, hyps: Sequence[str], refs: Sequence[str]) -> float:
+        if len(hyps) != len(refs):
+            raise ValueError(f"{len(hyps)} hypotheses vs {len(refs)} refs")
+        total = MeteorStats()
+        for h, r in zip(hyps, refs):
+            total.add(self.sentence_stats(h, r))
+        return score_from_stats(total, self.params)
 
 
 def meteor_score(
@@ -75,25 +444,15 @@ def meteor_score(
     references: Sequence[str],
     lang: str = "de",
     jar: Optional[str] = None,
+    paraphrase_file: Optional[str] = None,
 ) -> float:
-    """Corpus METEOR in [0, 1]. Uses the jar when available (exact parity)."""
+    """Corpus METEOR in [0, 1]. Uses the jar when available (bit parity with
+    the reference); otherwise the faithful Python METEOR-1.5 above."""
     jar = jar or os.environ.get("METEOR_JAR", "")
     if jar and os.path.exists(jar):
         return _meteor_jar(hypotheses, references, lang, jar)
-
-    # Python approximation: aggregate sufficient statistics over the corpus
-    # (METEOR aggregates m/chunks/lengths corpus-level before the formula).
-    M = CH = HL = RL = 0
-    for h, r in zip(hypotheses, references):
-        m, ch, hl, rl = _sentence_stats(h.split(), r.split())
-        M, CH, HL, RL = M + m, CH + ch, HL + hl, RL + rl
-    if M == 0 or HL == 0 or RL == 0:
-        return 0.0
-    p = M / HL
-    r = M / RL
-    fmean = p * r / (ALPHA * p + (1 - ALPHA) * r)
-    penalty = GAMMA * (CH / M) ** BETA
-    return fmean * (1.0 - penalty)
+    return MeteorScorer(lang, paraphrase_file).corpus_score(
+        hypotheses, references)
 
 
 def _meteor_jar(hyps, refs, lang, jar) -> float:
