@@ -1,0 +1,196 @@
+"""Moses tokenizer / truecaser / detokenizer golden pairs (SURVEY.md C1).
+
+Expected outputs are written from the Moses scripts' documented rule order
+(tokenizer.perl, train-truecaser.perl/truecase.perl, detokenizer.perl), per
+VERDICT r1 item 4 — they pin this implementation to Moses behavior, not to
+itself."""
+
+import pytest
+
+from vag_nmt_tpu.data.moses import (
+    MosesTokenizer,
+    Truecaser,
+    load_prefix_file,
+    moses_detokenize,
+)
+
+
+def tok(lang, s, **kw):
+    return MosesTokenizer(lang, **kw).tokenize(s, return_str=True)
+
+
+# ---------------------------------------------------------------------------
+# tokenizer.perl golden pairs
+
+
+@pytest.mark.parametrize("inp,out", [
+    # punctuation separation
+    ("Hello, world!", "Hello , world !"),
+    ("A man (with a dog) runs.", "A man ( with a dog ) runs ."),
+    # English apostrophes: suffix stays attached to the quote
+    ("don't", "don 't"),
+    ("John's dog", "John 's dog"),
+    ("the dogs' toys", "the dogs ' toys"),
+    ("'quoted'", "' quoted '"),
+    ("1990's music", "1990 's music"),
+    # commas and digits
+    ("1,000,000 items", "1,000,000 items"),
+    ("one, two, three", "one , two , three"),
+    # nonbreaking prefixes
+    ("Mr. Smith arrived.", "Mr. Smith arrived ."),
+    ("Dr. Brown met Gen. Lee.", "Dr. Brown met Gen. Lee ."),
+    # acronyms with internal dots keep the final period
+    ("He lives in the U.S.A.", "He lives in the U.S.A."),
+    # period followed by a lowercase word = abbreviation, keep attached
+    ("etc. and so on", "etc. and so on"),
+    # plain sentence-final period splits
+    ("The dog runs.", "The dog runs ."),
+    # NUMERIC_ONLY prefix: keeps period before a number only
+    ("No. 5 is here", "No. 5 is here"),
+    # multi-dots are preserved as a unit
+    ("Wait... what?", "Wait ... what ?"),
+    # hyphens stay joined by default
+    ("state-of-the-art model", "state-of-the-art model"),
+    # underscore is NOT a word char in Moses (Perl IsAlnum)
+    ("a_b", "a _ b"),
+])
+def test_tokenizer_english_golden(inp, out):
+    assert tok("en", inp) == out
+
+
+@pytest.mark.parametrize("inp,out", [
+    # French elision: apostrophe attaches LEFT, splits before the noun
+    ("l'homme", "l' homme"),
+    ("J'ai vu l'école", "J' ai vu l' école"),
+    ("aujourd'hui", "aujourd' hui"),
+    ("C'est, n'est-ce pas?", "C' est , n' est-ce pas ?"),
+])
+def test_tokenizer_french_golden(inp, out):
+    assert tok("fr", inp) == out
+
+
+@pytest.mark.parametrize("inp,out", [
+    # German: apostrophes are simply isolated
+    ("Peter's Haus", "Peter ' s Haus"),
+    # German nonbreaking prefixes incl. lowercase abbreviation convention
+    ("Dr. Müller kommt.", "Dr. Müller kommt ."),
+    ("z. B. dieses Haus", "z. B. dieses Haus"),
+    ("Ein Mann fährt.", "Ein Mann fährt ."),
+    # umlauts are word characters
+    ("Straße überqueren!", "Straße überqueren !"),
+])
+def test_tokenizer_german_golden(inp, out):
+    assert tok("de", inp) == out
+
+
+def test_tokenizer_aggressive_hyphen():
+    assert tok("en", "state-of-the-art",
+               aggressive_hyphen=True) == "state @-@ of @-@ the @-@ art"
+
+
+def test_tokenizer_escape_entities():
+    assert tok("en", "a & b", escape=True) == "a &amp; b"
+    assert tok("en", "x | y", escape=True) == "x &#124; y"
+
+
+def test_tokenizer_control_chars_and_whitespace():
+    assert tok("en", "  a \t b\x01c  ") == "a bc"
+
+
+def test_tokenizer_returns_list_by_default():
+    assert MosesTokenizer("en").tokenize("Hello, world!") == [
+        "Hello", ",", "world", "!"]
+
+
+def test_prefix_file_override(tmp_path):
+    p = tmp_path / "nonbreaking_prefix.xx"
+    p.write_text("# comment\nAbc\nNum #NUMERIC_ONLY#\n")
+    table = load_prefix_file(str(p))
+    assert table == {"Abc": 1, "Num": 2}
+    t = MosesTokenizer("en", prefix_file=str(p))
+    assert t.tokenize("Abc. Smith", return_str=True) == "Abc. Smith"
+    assert t.tokenize("Num. 5", return_str=True) == "Num. 5"
+    assert t.tokenize("Num. Smith", return_str=True) == "Num . Smith"
+
+
+# ---------------------------------------------------------------------------
+# truecaser
+
+
+def _train_lines():
+    lines = [
+        "The man walks in Paris .",
+        "A dog saw the man .",
+        "Paris is large .",
+        "In Paris , the man sleeps .",
+    ]
+    return [ln.split() for ln in lines]
+
+
+def test_truecaser_learns_most_frequent_casing():
+    tc = Truecaser.train(_train_lines())
+    # 'the' occurs non-initially as lowercase; 'Paris' always capitalized
+    assert tc.best["the"] == "the"
+    assert tc.best["paris"] == "Paris"
+
+
+def test_truecaser_recases_sentence_start_only():
+    tc = Truecaser.train(_train_lines())
+    assert tc.truecase("The man walks .".split()) == [
+        "the", "man", "walks", "."]
+    # non-initial known-cased forms are kept
+    assert tc.truecase("he saw Paris .".split()) == ["he", "saw", "Paris", "."]
+    # unknown casing of a known word snaps to the learned form
+    assert tc.truecase("he saw PARIS .".split()) == ["he", "saw", "Paris", "."]
+    # unknown words pass through
+    assert tc.truecase("Zurich is far .".split()) == [
+        "Zurich", "is", "far", "."]
+
+
+def test_truecaser_sentence_start_after_period():
+    tc = Truecaser.train(_train_lines())
+    assert tc.truecase("The man walks . The dog too .".split()) == (
+        "the man walks . the dog too .".split())
+
+
+def test_truecaser_delayed_start_through_quotes():
+    tc = Truecaser.train(_train_lines())
+    assert tc.truecase('" The man walks . "'.split()) == (
+        '" the man walks . "'.split())
+
+
+def test_truecaser_roundtrip_save_load(tmp_path):
+    tc = Truecaser.train(_train_lines())
+    path = str(tmp_path / "tc.json")
+    tc.save(path)
+    tc2 = Truecaser.load(path)
+    assert tc2.best == tc.best and tc2.known == tc.known
+
+
+def test_detruecase_uppercases_first_alpha():
+    assert Truecaser.detruecase('" hello world'.split()) == (
+        '" Hello world'.split())
+
+
+# ---------------------------------------------------------------------------
+# detokenizer
+
+
+@pytest.mark.parametrize("lang,toks,out", [
+    ("en", "Hello , world !", "Hello, world!"),
+    ("en", "don 't stop", "don't stop"),
+    ("en", "John 's dog .", "John's dog."),
+    ("en", "a man ( with a dog )", "a man (with a dog)"),
+    ("fr", "l' homme est là .", "l'homme est là."),
+    ("en", '" quoted text "', '"quoted text"'),
+    ("en", "100 % sure", "100% sure"),
+])
+def test_detokenizer_golden(lang, toks, out):
+    assert moses_detokenize(toks.split(), lang) == out
+
+
+def test_tokenize_detokenize_roundtrip_en():
+    t = MosesTokenizer("en")
+    for s in ["Hello, world!", "John's dog doesn't run.",
+              "A man (with a dog) walks."]:
+        assert moses_detokenize(t.tokenize(s), "en") == s

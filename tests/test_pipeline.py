@@ -64,6 +64,35 @@ def test_preprocess_writes_artifacts_and_roundtrips(raw_dir, tmp_path):
     assert os.path.exists(os.path.join(out, "train_features.npy"))
 
 
+def test_preprocess_truecase_flow(tmp_path):
+    """--truecase path: Moses tokenization + learned truecaser artifacts;
+    sentence-initial words with known non-initial casing get recased."""
+    d = tmp_path / "raw"
+    d.mkdir()
+    en = ["The man sees the park .", "A dog runs in the park .",
+          "Paris is far from the park .", "The man left Paris ."]
+    de = ["Der Mann sieht den Park .", "Ein Hund läuft im Park .",
+          "Paris ist weit vom Park entfernt .", "Der Mann verließ Paris ."]
+    for split in ("train", "val", "test"):
+        (d / f"{split}.en").write_text("\n".join(en) + "\n")
+        (d / f"{split}.de").write_text("\n".join(de) + "\n")
+    out = str(tmp_path / "out")
+    preprocess_corpus(str(d), out, ["train", "val", "test"], ["en", "de"],
+                      bpe_merges=40, truecase=True)
+    from vag_nmt_tpu.data.bpe import remove_bpe
+    from vag_nmt_tpu.data.moses import Truecaser
+
+    assert os.path.exists(os.path.join(out, "truecase.en.json"))
+    tc = Truecaser.load(os.path.join(out, "truecase.en.json"))
+    assert tc.best["paris"] == "Paris"   # always-capitalized word learned
+    with open(os.path.join(out, "train.en"), encoding="utf-8") as f:
+        lines = [remove_bpe(ln.split()) for ln in f]
+    # sentence-initial "The" recased to the learned lowercase form;
+    # "Paris" keeps its capital even sentence-initially
+    assert lines[0][0] == "the"
+    assert lines[2][0] == "Paris"
+
+
 def test_ikea_split_flow(raw_dir, tmp_path):
     """dataset='ikea' uses train/val/test naming through the same reader."""
     out = str(tmp_path / "out")

@@ -109,7 +109,10 @@ def cmd_preprocess(args) -> None:
     preprocess_corpus(args.raw_dir, args.out_dir, splits, langs,
                       bpe_merges=args.bpe_merges,
                       vocab_min_freq=args.vocab_min_freq,
-                      vocab_max_size=args.vocab_max_size)
+                      vocab_max_size=args.vocab_max_size,
+                      lower=not (args.no_lower or args.truecase),
+                      truecase=args.truecase,
+                      tokenizer=args.tokenizer)
     print(f"preprocessed {splits} x {langs} -> {args.out_dir}")
 
 
@@ -301,6 +304,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bpe-merges", type=int, default=10000)
     p.add_argument("--vocab-min-freq", type=int, default=1)
     p.add_argument("--vocab-max-size", type=int, default=0)
+    p.add_argument("--tokenizer", choices=("moses", "simple"),
+                   default="moses")
+    p.add_argument("--truecase", action="store_true",
+                   help="train+apply a truecaser instead of lowercasing")
+    p.add_argument("--no-lower", action="store_true",
+                   help="keep original casing (no truecaser, no lowercase)")
     p.set_defaults(fn=cmd_preprocess)
 
     p = sub.add_parser("train", help="train a preset end to end")

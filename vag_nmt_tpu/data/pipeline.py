@@ -1,15 +1,22 @@
 """Offline corpus preprocessing (SURVEY.md C1, L0).
 
-Replaces the reference's Moses+subword-nmt shell pipeline with pure Python:
-tokenize + lowercase -> learn BPE on train -> apply BPE to all splits ->
-build vocabs -> write artifacts:
+Replaces the reference's Moses+subword-nmt shell pipeline
+(tokenize -> truecase/lowercase -> learn BPE on train -> apply BPE -> vocab)
+with pure Python:
 
-    <out_dir>/<split>.<lang>     BPE'd text (space-separated units)
-    <out_dir>/bpe.<lang>.json    merge table
-    <out_dir>/vocab.<lang>.json  vocabulary
+    <out_dir>/<split>.<lang>        BPE'd text (space-separated units)
+    <out_dir>/bpe.<lang>.json       merge table
+    <out_dir>/vocab.<lang>.json     vocabulary
+    <out_dir>/truecase.<lang>.json  truecase model (when truecase=True)
 
-Feature .npy files are copied through untouched (they are opaque float
-matrices, SURVEY.md C2)."""
+Tokenization is Moses-parity by default (data/moses.py, rule-for-rule
+tokenizer.perl); ``tokenizer="simple"`` selects the round-1 regex tokenizer.
+Casing follows the reference's two documented options: ``lower=True``
+(Multi30k convention) or ``truecase=True`` (train a truecaser on the train
+split, apply to all splits — Moses train-truecaser.perl/truecase.perl).
+
+Feature .npy files are copied through untouched (opaque float matrices,
+SURVEY.md C2)."""
 
 from __future__ import annotations
 
@@ -18,7 +25,8 @@ import shutil
 from typing import List, Sequence
 
 from vag_nmt_tpu.data.bpe import BPE, learn_bpe_from_lines
-from vag_nmt_tpu.data.tokenizer import tokenize
+from vag_nmt_tpu.data.moses import MosesTokenizer, Truecaser
+from vag_nmt_tpu.data.tokenizer import tokenize as simple_tokenize
 from vag_nmt_tpu.data.vocab import Vocab
 
 
@@ -32,21 +40,39 @@ def preprocess_corpus(
     vocab_min_freq: int = 1,
     vocab_max_size: int = 0,
     lower: bool = True,
+    truecase: bool = False,
+    tokenizer: str = "moses",
 ) -> None:
+    if truecase and lower:
+        lower = False  # truecasing subsumes lowercasing
     os.makedirs(out_dir, exist_ok=True)
     for lang in langs:
+        mt = MosesTokenizer(lang) if tokenizer == "moses" else None
+
+        def tok_line(ln: str) -> List[str]:
+            if mt is not None:
+                toks = mt.tokenize(ln)
+                return [t.lower() for t in toks] if lower else toks
+            return simple_tokenize(ln, lower=lower)
+
         # 1. tokenize all splits
         tokenized = {}
         for split in splits:
             path = os.path.join(raw_dir, f"{split}.{lang}")
             with open(path, encoding="utf-8") as f:
-                tokenized[split] = [tokenize(ln.rstrip("\n"), lower=lower)
-                                    for ln in f]
-        # 2. learn BPE on train only
+                tokenized[split] = [tok_line(ln.rstrip("\n")) for ln in f]
+        # 2. (optional) truecase: train on the train split, apply everywhere
+        if truecase:
+            tc = Truecaser.train(tokenized[splits[0]])
+            tc.save(os.path.join(out_dir, f"truecase.{lang}.json"))
+            for split in splits:
+                tokenized[split] = [tc.truecase(toks)
+                                    for toks in tokenized[split]]
+        # 3. learn BPE on train only
         merges = learn_bpe_from_lines(tokenized[splits[0]], bpe_merges)
         bpe = BPE(merges)
         bpe.save(os.path.join(out_dir, f"bpe.{lang}.json"))
-        # 3. apply + write
+        # 4. apply + write
         segmented: dict = {}
         for split in splits:
             # encode_line takes the C++ fast path when native/ is built
@@ -56,7 +82,7 @@ def preprocess_corpus(
                       encoding="utf-8") as f:
                 for units in segmented[split]:
                     f.write(" ".join(units) + "\n")
-        # 4. vocab from BPE'd train
+        # 5. vocab from BPE'd train
         vocab = Vocab.build(segmented[splits[0]], min_freq=vocab_min_freq,
                             max_size=vocab_max_size)
         vocab.save(os.path.join(out_dir, f"vocab.{lang}.json"))
