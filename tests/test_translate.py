@@ -107,3 +107,53 @@ def test_multimodal_without_features_raises(setup):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="features"):
         translate_corpus(params, cfg, bare, vocab)
+
+
+def test_mesh_sharded_decode_matches_single_device(setup):
+    """Fused corpus decode over an 8-virtual-device 'data' mesh produces
+    EXACTLY the single-device hypotheses (VERDICT r1 item 5)."""
+    from vag_nmt_tpu.parallel.sharding import make_mesh
+
+    cfg, params, examples, vocab = setup
+    mesh = make_mesh(n_data=8, n_model=1)
+    h_1, _ = translate_corpus(params, cfg, examples, vocab, fused=True)
+    h_m, st = translate_corpus(params, cfg, examples, vocab, fused=True,
+                               mesh=mesh)
+    assert h_m == h_1
+    assert st["sentences"] == len(examples)
+
+
+def test_mesh_sharded_decode_rounds_batch_up(setup):
+    """decode_batch_size not divisible by the data axis is rounded up."""
+    from vag_nmt_tpu.parallel.sharding import make_mesh
+
+    cfg, params, examples, vocab = setup
+    cfg = cfg.replace(decode=dict(decode_batch_size=12))   # 12 % 8 != 0
+    mesh = make_mesh(n_data=8, n_model=1)
+    h_1, _ = translate_corpus(params, cfg, examples, vocab, fused=True)
+    h_m, _ = translate_corpus(params, cfg, examples, vocab, fused=True,
+                              mesh=mesh)
+    assert h_m == h_1
+
+
+def test_mesh_requires_fused_path(setup):
+    from vag_nmt_tpu.parallel.sharding import make_mesh
+
+    cfg, params, examples, vocab = setup
+    with pytest.raises(ValueError, match="fused"):
+        translate_corpus(params, cfg, examples, vocab, fused=False,
+                         mesh=make_mesh(n_data=8, n_model=1))
+
+
+def test_tp_mesh_decode_matches_single_device(setup):
+    """Vocab-sharded (TP) params on a (4,2) mesh decode to exactly the
+    single-device hypotheses (GSPMD inserts the vocab collectives)."""
+    from vag_nmt_tpu.parallel.sharding import make_mesh, param_shardings
+
+    cfg, params, examples, vocab = setup
+    h_1, _ = translate_corpus(params, cfg, examples, vocab, fused=True)
+    mesh = make_mesh(n_data=4, n_model=2)
+    params_tp = jax.device_put(params, param_shardings(mesh, params))
+    h_tp, _ = translate_corpus(params_tp, cfg, examples, vocab, fused=True,
+                               mesh=mesh)
+    assert h_tp == h_1

@@ -59,14 +59,19 @@ def make_decode_fn(cfg: Config, beam_size: int, max_len: int):
 
 @lru_cache(maxsize=64)
 def make_fused_corpus_fn(cfg: Config, beam_size: int, max_len: int,
-                         multimodal: bool):
+                         multimodal: bool, mesh=None):
     """ONE jitted program decoding the ENTIRE corpus: lax.map over fixed-size
     chunks of a single padded (n_chunks, B, T_src) token array, image features
     gathered on-device from a resident table. One dispatch + one host fetch
     per corpus — per-call dispatch latency (~30ms on a tunneled chip) and
-    per-bucket recompiles disappear from the decode path."""
+    per-bucket recompiles disappear from the decode path.
 
-    @partial(jax.jit, static_argnames=())
+    With a mesh, each chunk's batch rows are sharded over the 'data' axis
+    (params + feature table replicated): sentences decode independently, so
+    DP needs no collectives beyond the while_loop's all-finished reduction —
+    GSPMD inserts that. The chunk axis stays unsharded (lax.map is
+    sequential by construction)."""
+
     def run(params, src, src_lens, ids, img_table):
         if cfg.model.compute_dtype == "bfloat16":
             params = cast_floats(params, jnp.bfloat16)
@@ -95,7 +100,21 @@ def make_fused_corpus_fn(cfg: Config, beam_size: int, max_len: int,
 
         return jax.lax.map(one, (src, src_lens, ids))
 
-    return run
+    if mesh is None:
+        return jax.jit(run)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from vag_nmt_tpu.parallel.sharding import DATA_AXIS
+
+    rep = NamedSharding(mesh, P())
+    row = NamedSharding(mesh, P(None, DATA_AXIS))          # (nb, B)
+    row_t = NamedSharding(mesh, P(None, DATA_AXIS, None))  # (nb, B, T)
+    # params: None = keep the caller's committed sharding — replicated params
+    # stay replicated, and TP-trained (vocab-sharded) params decode with
+    # GSPMD-inserted vocab collectives, no host round trip through a gather.
+    return jax.jit(run,
+                   in_shardings=(None, row_t, row, row, rep),
+                   out_shardings=(row_t, row))
 
 
 def build_img_table(examples: Sequence[Example], img_dim: int,
@@ -112,11 +131,17 @@ def build_img_table(examples: Sequence[Example], img_dim: int,
 
 
 def _translate_fused(params, cfg, examples, tgt_vocab, beam_size, max_len,
-                     batch_size, de_bpe, img_table=None):
+                     batch_size, de_bpe, img_table=None, mesh=None):
     from vag_nmt_tpu.data.batching import _bucket_for
 
     n = len(examples)
     B = batch_size
+    if mesh is not None:
+        n_data = mesh.shape["data"]
+        if B % n_data:
+            # round UP so every device gets equal rows (rows are padded with
+            # replicas of the last real sentence anyway)
+            B += n_data - B % n_data
     nb = -(-n // B)
     t_src = _bucket_for(max(len(ex.src) for ex in examples),
                         cfg.data.length_buckets)
@@ -163,7 +188,7 @@ def _translate_fused(params, cfg, examples, tgt_vocab, beam_size, max_len,
     else:
         img_table = jnp.zeros((1, 1), jnp.float32)
 
-    run = make_fused_corpus_fn(cfg, beam_size, max_len, multimodal)
+    run = make_fused_corpus_fn(cfg, beam_size, max_len, multimodal, mesh)
     t0 = time.perf_counter()
     # ONE dispatch for the whole corpus. (Splitting into two dispatches to
     # overlap the first half's result fetch with the second's compute was
@@ -213,6 +238,7 @@ def translate_corpus(
     de_bpe: bool = True,
     fused: bool = True,
     img_table: Optional[jax.Array] = None,
+    mesh=None,
 ) -> Tuple[List[str], Dict[str, float]]:
     """Returns (hypothesis lines in EXAMPLE-LIST ORDER — hyps[i] translates
     examples[i] — plus stats incl. sentences/sec). Both the fused (default)
@@ -221,7 +247,11 @@ def translate_corpus(
     img_table: optional device-resident feature table from build_img_table
     (row i = examples[i]); pass it when decoding the same corpus repeatedly
     to skip the per-call host->device feature upload. With a table, examples
-    may carry img=None."""
+    may carry img=None.
+
+    mesh: optional jax.sharding.Mesh — shards each chunk's batch rows over
+    the 'data' axis (fused path only; hypotheses are bit-identical to the
+    single-device run, tested on an 8-virtual-device CPU mesh)."""
     beam_size = beam_size if beam_size is not None else cfg.decode.beam_size
     max_len = max_len if max_len is not None else cfg.decode.max_len
     batch_size = (batch_size if batch_size is not None
@@ -237,7 +267,9 @@ def translate_corpus(
     if fused and examples:
         return _translate_fused(params, cfg, examples, tgt_vocab, beam_size,
                                 max_len, batch_size, de_bpe,
-                                img_table=img_table)
+                                img_table=img_table, mesh=mesh)
+    if mesh is not None:
+        raise ValueError("mesh-sharded decode requires the fused path")
 
     # Bucketed path (per-bucket-shape programs). Image features live on the
     # device once; per-batch feeds carry int32 row ids (positions into

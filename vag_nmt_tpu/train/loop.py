@@ -113,7 +113,8 @@ def train_loop(
         step = int(state.step) if step is None else step
         hyps, dstats = translate_corpus(
             state.params, cfg, dev_examples, tgt_vocab,
-            beam_size=cfg.decode.beam_size, img_table=dev_img_table)
+            beam_size=cfg.decode.beam_size, img_table=dev_img_table,
+            mesh=mesh)
         bleu = corpus_bleu(hyps, list(dev_refs))
         improved = bleu.bleu > best_bleu
         if improved:
