@@ -133,6 +133,28 @@ def main() -> None:
 
     runs = sorted(N_SENT / t for t in times)   # ascending sent/s
     value = runs[1]
+
+    # --- MFU / roofline (VERDICT r1 item 2; core/flops.py) ----------------
+    # FLOPs from the REALIZED beam while_loop trip counts (stats), not
+    # max_len; HBM bytes assume the bf16 weight set streams once per decode
+    # step (sequential loop, no cross-step reuse) + per-row ctx/ctx_proj.
+    from vag_nmt_tpu.core.flops import (
+        V5E_PEAK_BF16_FLOPS,
+        decode_step_bytes,
+        decode_step_flops,
+        prepare_flops,
+        roofline,
+    )
+
+    elapsed_med = sorted(times)[1]
+    nb, rows, t_src = stats["n_chunks"], stats["rows_per_chunk"], stats["t_src"]
+    loop_steps = stats["beam_loop_steps"]
+    beam = stats["beam_size"]
+    total_flops = (nb * rows * prepare_flops(m, t_src)
+                   + loop_steps * rows * beam * decode_step_flops(m, t_src))
+    total_bytes = loop_steps * decode_step_bytes(m, rows * beam, t_src)
+    roof = roofline(total_flops / elapsed_med, total_bytes / elapsed_med)
+
     print(json.dumps({
         "metric": "multi30k_ende_beam5_decode_throughput",
         "value": round(value, 1),
@@ -144,6 +166,12 @@ def main() -> None:
         "train_steps_for_eos": steps_done,
         "n_sentences": N_SENT,
         "compute_dtype": "bfloat16",
+        "achieved_tflops": round(total_flops / elapsed_med / 1e12, 2),
+        "mfu": round(roof["mfu"], 4),
+        "mfu_peak_tflops": V5E_PEAK_BF16_FLOPS / 1e12,
+        "hbm_util_est": round(roof["hbm_util"], 4),
+        "bound": roof["bound"],
+        "gflop_per_sentence": round(total_flops / (nb * rows) / 1e9, 3),
     }))
 
 

@@ -1,0 +1,110 @@
+"""Pallas-vs-XLA GRU scan microbenchmark on the REAL chip (VERDICT r1 item 1).
+
+Measures the masked bidirectional GRU scan — the encoder's recurrence and the
+only op with a hand-written kernel — forward and forward+backward, at
+flagship shapes, for every available implementation:
+
+    xla     lax.scan oracle (ops/gru.py)
+    pallas  fused Pallas kernel (ops/pallas_gru.py)
+
+Run ON TPU (the default backend outside pytest):  python benchmarks/kernel_bench.py
+Prints one JSON line per (impl, shape, mode) plus a winner summary; paste the
+table into README/PARITY when the numbers move.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def bench(fn, *args, warmup=3, iters=20):
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        times.append(time.perf_counter() - t0)
+    ts = sorted(times)
+    return ts[len(ts) // 2], ts[0]
+
+
+def main():
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/vag_nmt_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
+    from vag_nmt_tpu.ops.gru import bidirectional_gru, init_gru_params
+
+    backend = jax.default_backend()
+    impls = ["xla", "pallas"]
+    shapes = [(64, 16), (128, 16), (64, 32), (128, 32)]
+    E, H = 256, 512
+    dtypes = ["float32", "bfloat16"]
+
+    pf = init_gru_params(jax.random.key(0), E, H)
+    pb = init_gru_params(jax.random.key(1), E, H)
+
+    rows = []
+    for B, T in shapes:
+        rng = np.random.RandomState(0)
+        x32 = rng.randn(B, T, E).astype(np.float32)
+        lens = rng.randint(T // 2, T + 1, B)
+        mask = (np.arange(T)[None] < lens[:, None]).astype(np.float32)
+        for dt in dtypes:
+            x = jnp.asarray(x32, jnp.bfloat16 if dt == "bfloat16" else
+                            jnp.float32)
+            p_f = jax.tree.map(lambda a: a.astype(x.dtype), pf)
+            p_b = jax.tree.map(lambda a: a.astype(x.dtype), pb)
+            for impl in impls:
+                fwd = jax.jit(lambda xx, m, a=p_f, b=p_b, im=impl:
+                              bidirectional_gru(a, b, xx, m, impl=im)[0])
+
+                def loss(xx, m, a=p_f, b=p_b, im=impl):
+                    out, hf, hb = bidirectional_gru(a, b, xx, m, impl=im)
+                    return jnp.sum(out.astype(jnp.float32))
+
+                fwdbwd = jax.jit(jax.grad(loss))
+                try:
+                    t_f, _ = bench(fwd, x, mask)
+                    t_fb, _ = bench(fwdbwd, x, mask)
+                    err = ""
+                except Exception as e:  # compile failure is a RESULT here
+                    t_f = t_fb = float("nan")
+                    err = f"{type(e).__name__}: {e}"[:200]
+                rows.append({
+                    "impl": impl, "B": B, "T": T, "dtype": dt,
+                    "fwd_us": round(t_f * 1e6, 1),
+                    "fwdbwd_us": round(t_fb * 1e6, 1),
+                    "backend": backend, "error": err,
+                })
+                print(json.dumps(rows[-1]), flush=True)
+
+    # summary: pallas/xla time ratios (<1 = pallas wins)
+    for B, T in shapes:
+        for dt in dtypes:
+            r = {x["impl"]: x for x in rows
+                 if x["B"] == B and x["T"] == T and x["dtype"] == dt}
+            if "pallas" in r and "xla" in r and not r["pallas"]["error"]:
+                print(json.dumps({
+                    "summary": f"B{B}_T{T}_{dt}",
+                    "pallas_over_xla_fwd":
+                        round(r["pallas"]["fwd_us"] / r["xla"]["fwd_us"], 2),
+                    "pallas_over_xla_fwdbwd":
+                        round(r["pallas"]["fwdbwd_us"] / r["xla"]["fwdbwd_us"],
+                              2),
+                }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

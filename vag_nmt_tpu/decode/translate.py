@@ -204,6 +204,10 @@ def _translate_fused(params, cfg, examples, tgt_vocab, beam_size, max_len,
     toks = np.asarray(jax.device_get(toks)).reshape(nb * B, -1)
     lens = np.asarray(jax.device_get(lens)).reshape(nb * B)
     elapsed = time.perf_counter() - t0
+    # Realized while_loop trip counts: each chunk decodes until its longest
+    # hypothesis finishes (+1 for the <eos>-emitting step). Feeds the MFU /
+    # roofline accounting in bench.py (core/flops.py).
+    chunk_steps = lens.reshape(nb, B).max(axis=1) + 1
 
     # Vectorized detok: object-array vocab lookup + string-level de-BPE
     # (equivalent to bpe.remove_bpe on the unit list).
@@ -222,7 +226,9 @@ def _translate_fused(params, cfg, examples, tgt_vocab, beam_size, max_len,
                 s = s[:-2]
         hyps[i] = s
     stats = {"sentences_per_sec": n / max(elapsed, 1e-9),
-             "elapsed_s": elapsed, "sentences": n, "beam_size": beam_size}
+             "elapsed_s": elapsed, "sentences": n, "beam_size": beam_size,
+             "beam_loop_steps": int(chunk_steps.sum()),
+             "n_chunks": nb, "rows_per_chunk": B, "t_src": int(t_src)}
     return hyps, stats
 
 

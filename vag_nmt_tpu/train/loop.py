@@ -148,15 +148,30 @@ def train_loop(
     log_mod = 1 % max(cfg.train.log_every_steps, 1)
     pending: list = []               # (step, epoch, dt_per_step, device row)
 
+    # Analytic FLOPs per step by batch shape (host-side, one dict lookup per
+    # log point; core/flops.py formulas are XLA-cost-model-validated).
+    from vag_nmt_tpu.core.flops import train_step_flops
+
+    flops_by_shape: Dict = {}
+
+    def step_flops(batch) -> int:
+        key = (batch["src"].shape, batch["tgt_in"].shape)
+        f = flops_by_shape.get(key)
+        if f is None:
+            (b, t), (_, tt) = key
+            f = flops_by_shape[key] = train_step_flops(cfg, b, t, tt)
+        return f
+
     def flush_logs() -> None:
         if not pending:
             return
         # ONE transfer for all buffered rows (per-row fetches each pay a
         # round trip; the row count per flush is stable, so the stack
         # program compiles once)
-        rows = np.asarray(jnp.stack([row for _, _, _, _, row in pending]))
-        for (s, e, dtt, keys, _), vals in zip(pending, rows):
+        rows = np.asarray(jnp.stack([row for *_, row in pending]))
+        for (s, e, dtt, fl, keys, _), vals in zip(pending, rows):
             log.log("train", step=s, epoch=e, step_time_s=dtt,
+                    tflops=fl / max(dtt, 1e-9) / 1e12,
                     **{k: float(v) for k, v in zip(keys, vals)})
         pending.clear()
 
@@ -184,7 +199,8 @@ def train_loop(
                     now = time.perf_counter()
                     dt = (now - last_t) / max(host_step - last_step, 1)
                     last_t, last_step = now, host_step
-                    pending.append((host_step, epoch, dt, keys, row))
+                    pending.append((host_step, epoch, dt, step_flops(batch),
+                                    keys, row))
                 if (cfg.train.eval_every_steps > 0
                         and host_step % cfg.train.eval_every_steps == 0):
                     flush_logs()
