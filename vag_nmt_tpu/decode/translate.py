@@ -71,6 +71,9 @@ def make_fused_corpus_fn(cfg: Config, beam_size: int, max_len: int,
     DP needs no collectives beyond the while_loop's all-finished reduction —
     GSPMD inserts that. The chunk axis stays unsharded (lax.map is
     sequential by construction)."""
+    if mesh is not None and cfg.model.gru_impl == "auto":
+        # GSPMD cannot partition a Pallas custom call (see train/step.py).
+        cfg = cfg.replace(model=dict(gru_impl="xla"))
 
     def run(params, src, src_lens, ids, img_table):
         if cfg.model.compute_dtype == "bfloat16":

@@ -104,6 +104,13 @@ def gru_scan(
     if h0 is None:
         h0 = jnp.zeros((B, H), x.dtype)
 
+    if impl == "auto":
+        # Measured on 1xv5e (benchmarks/kernel_bench.py, amortized over 100
+        # in-graph calls): the Pallas kernel is ~equal to the XLA scan
+        # forward (0.82-1.03x time) and 8-27% FASTER forward+backward at
+        # flagship shapes (B=64/128, T=16/32, H=512), fp32 and bf16. CPU has
+        # no Mosaic backend, so 'auto' keeps the lax.scan oracle there.
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if impl == "pallas":
         from vag_nmt_tpu.ops.pallas_gru import pallas_gru_scan
 

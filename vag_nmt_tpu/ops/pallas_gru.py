@@ -42,6 +42,14 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+# The backward kernel's working set (uh + du blocks at H=512 plus the
+# double-buffered time streams) can exceed Mosaic's default 16 MB scoped-VMEM
+# budget at some (T, tile) combinations (measured: OOM by 248 KB at T=17,
+# tb=64 on v5e). Raising the scoped cap to 32 MB fixes scheduling with no
+# measured slowdown at flagship shapes.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024)
+
+
 def _gates(xg, hg, h):
     H = h.shape[-1]
     r = jax.nn.sigmoid(xg[:, :H] + hg[:, :H])
@@ -98,6 +106,7 @@ def _fwd_call(xg_t, mask_t, uh, bh, h0, *, reverse: bool, tb: int):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((T, B, H), jnp.float32),
         scratch_shapes=[pltpu.VMEM((tb, H), jnp.float32)],
+        compiler_params=_COMPILER_PARAMS,
         interpret=_interpret(),
     )(xg_t, mask_t, uh, bh, h0)
 
@@ -207,6 +216,7 @@ def _bwd_call(xg_t, mask_t, uh, bh, h0, hs_t, g_t, *, reverse: bool, tb: int):
             jax.ShapeDtypeStruct((nb, 1, H3), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((tb, H), jnp.float32)],
+        compiler_params=_COMPILER_PARAMS,
         interpret=_interpret(),
     )(xg_t, mask_t, uh, bh, h0, hs_t, g_t)
     return dxg, dh0, du.sum(0), dbh[:, 0].sum(0)

@@ -48,6 +48,12 @@ def make_train_step(
     the gather happens on device. Feeding the ~0.5 MB of pool5 features per
     batch from the host dominated wall-clock step time (device compute is
     <1 ms); with the table the per-step feed is a few KB."""
+    if mesh is not None and cfg.model.gru_impl == "auto":
+        # GSPMD cannot partition a Pallas custom call over the mesh; under
+        # multi-device shardings 'auto' resolves to the XLA scan (a
+        # shard_map'ed kernel is the future path). Explicit "pallas" is
+        # honored as requested.
+        cfg = cfg.replace(model=dict(gru_impl="xla"))
     tx = make_optimizer(cfg)
 
     def step(state: TrainState, batch: Dict[str, jnp.ndarray],
