@@ -168,3 +168,50 @@ def test_feature_alignment_checks(tmp_path):
         load_features(p, expected_rows=2)
     with pytest.raises(ValueError):
         load_features(p, expected_rows=3, corpus_lines=["x", "y", "z"])
+
+
+def test_incremental_bpe_learner_matches_naive_rescan():
+    """learn_bpe's incremental pair-stat/heap implementation must produce the
+    EXACT merge sequence of the naive full-rescan algorithm (same
+    deterministic tie-break: max count, then lexicographically largest)."""
+    import random
+    from collections import Counter
+
+    from vag_nmt_tpu.data.bpe import _word_symbols, learn_bpe
+
+    def naive(word_freqs, num_merges):
+        vocab = {_word_symbols(w): f for w, f in word_freqs.items() if w}
+        merges = []
+        for _ in range(num_merges):
+            pairs = Counter()
+            for syms, freq in vocab.items():
+                for a, b in zip(syms, syms[1:]):
+                    pairs[(a, b)] += freq
+            if not pairs:
+                break
+            best = max(pairs.items(), key=lambda kv: (kv[1], kv[0]))[0]
+            if pairs[best] < 2:
+                break
+            merges.append(best)
+            new_vocab = {}
+            for syms, freq in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if (i + 1 < len(syms) and syms[i] == best[0]
+                            and syms[i + 1] == best[1]):
+                        out.append(best[0] + best[1])
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + freq
+            vocab = new_vocab
+        return merges
+
+    rng = random.Random(7)
+    for _ in range(3):
+        types = ["".join(rng.choice("abcdefg")
+                         for _ in range(rng.randint(1, 8)))
+                 for _ in range(200)]
+        freqs = Counter(rng.choice(types) for _ in range(3000))
+        assert learn_bpe(dict(freqs), 150) == naive(dict(freqs), 150)

@@ -16,8 +16,9 @@ ctypes-loaded); the Python path is the semantics oracle.
 
 from __future__ import annotations
 
+import heapq
 import json
-from collections import Counter
+from collections import Counter, defaultdict
 from typing import Dict, Iterable, List, Sequence, Tuple
 
 END = "</w>"
@@ -29,26 +30,73 @@ def _word_symbols(word: str) -> Tuple[str, ...]:
     return tuple(word[:-1]) + (word[-1] + END,)
 
 
+class _RevPair:
+    """Heap tie-break helper: orders pairs REVERSE-lexicographically so the
+    lazy max-heap reproduces the original deterministic rule exactly
+    (max count, ties by lexicographically LARGEST pair)."""
+
+    __slots__ = ("p",)
+
+    def __init__(self, p):
+        self.p = p
+
+    def __lt__(self, other):
+        return self.p > other.p
+
+
 def learn_bpe(word_freqs: Dict[str, int], num_merges: int) -> List[Tuple[str, str]]:
-    """Learn merge operations from a word frequency dict."""
-    vocab = {_word_symbols(w): f for w, f in word_freqs.items() if w}
+    """Learn merge operations from a word frequency dict.
+
+    Incremental pair statistics (subword-nmt's approach): each merge touches
+    only the word types containing the merged pair and updates a lazy
+    max-heap, instead of rescanning every word type per merge — 16k merges
+    over a long-caption corpus drop from ~25 min to seconds. Semantics are
+    IDENTICAL to the naive rescan (deterministic tie-break included;
+    equivalence-tested in tests/test_data.py)."""
+    words: List[List[str]] = []
+    freqs: List[int] = []
+    for w, f in word_freqs.items():
+        if w:
+            words.append(list(_word_symbols(w)))
+            freqs.append(f)
+
+    pair_counts: Counter = Counter()
+    pair_words = defaultdict(set)            # pair -> word indices (lazy)
+    for idx, syms in enumerate(words):
+        f = freqs[idx]
+        for a, b in zip(syms, syms[1:]):
+            pair_counts[(a, b)] += f
+            pair_words[(a, b)].add(idx)
+
+    heap = [(-c, _RevPair(p), p) for p, c in pair_counts.items()]
+    heapq.heapify(heap)
+
+    def push(p):
+        heapq.heappush(heap, (-pair_counts[p], _RevPair(p), p))
+
     merges: List[Tuple[str, str]] = []
-    for _ in range(num_merges):
-        pairs: Counter = Counter()
-        for syms, freq in vocab.items():
-            for a, b in zip(syms, syms[1:]):
-                pairs[(a, b)] += freq
-        if not pairs:
-            break
-        # Deterministic: max frequency, ties by lexicographic pair.
-        best = max(pairs.items(), key=lambda kv: (kv[1], kv[0]))[0]
-        if pairs[best] < 2:
+    while len(merges) < num_merges and heap:
+        negc, _, best = heapq.heappop(heap)
+        cur = pair_counts.get(best, 0)
+        if -negc != cur:                      # stale heap entry
+            if cur > 0:
+                push(best)
+            continue
+        if cur < 2:
             break
         merges.append(best)
         merged = best[0] + best[1]
-        new_vocab = {}
-        for syms, freq in vocab.items():
-            out = []
+        touched = set()
+        for idx in pair_words.pop(best, ()):
+            syms = words[idx]
+            f = freqs[idx]
+            has = any(a == best[0] and b == best[1]
+                      for a, b in zip(syms, syms[1:]))
+            if not has:
+                continue                      # stale index
+            for a, b in zip(syms, syms[1:]):
+                pair_counts[(a, b)] -= f
+            out: List[str] = []
             i = 0
             while i < len(syms):
                 if (i + 1 < len(syms) and syms[i] == best[0]
@@ -58,8 +106,22 @@ def learn_bpe(word_freqs: Dict[str, int], num_merges: int) -> List[Tuple[str, st
                 else:
                     out.append(syms[i])
                     i += 1
-            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + freq
-        vocab = new_vocab
+            words[idx] = out
+            for a, b in zip(out, out[1:]):
+                pair_counts[(a, b)] += f
+                pair_words[(a, b)].add(idx)
+                touched.add((a, b))
+            for a, b in zip(syms, syms[1:]):
+                touched.add((a, b))
+        pair_counts.pop(best, None)
+        touched.discard(best)
+        for p in touched:
+            c = pair_counts.get(p, 0)
+            if c <= 0:
+                pair_counts.pop(p, None)
+                pair_words.pop(p, None)
+            else:
+                push(p)                        # lazy: stale entries skipped
     return merges
 
 
