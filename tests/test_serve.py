@@ -59,3 +59,55 @@ def test_translate_text_cli(toy_run, tmp_path):
           "--input", str(inp), "--output", str(outp)])
     lines = outp.read_text().splitlines()
     assert len(lines) == 2
+
+
+def test_translator_honors_preprocess_manifest(tmp_path):
+    """from_run replays the data dir's preprocess.json: Moses tokenizer +
+    learned truecaser before BPE/numericalization, and display=True
+    detruecases + Moses-detokenizes the output."""
+    import json
+
+    import jax
+
+    from vag_nmt_tpu.core.config import preset
+    from vag_nmt_tpu.data.moses import Truecaser
+    from vag_nmt_tpu.data.vocab import Vocab
+    from vag_nmt_tpu.decode.serve import Translator
+    from vag_nmt_tpu.train.checkpoint import save_checkpoint
+    from vag_nmt_tpu.train.state import create_train_state
+
+    data_dir = tmp_path / "data"
+    run_dir = tmp_path / "run"
+    (run_dir / "checkpoints").mkdir(parents=True)
+    data_dir.mkdir()
+
+    cfg = preset("toy").replace(
+        model=dict(multimodal=False, src_vocab_size=16, tgt_vocab_size=16),
+        data=dict(data_dir=str(data_dir), src_lang="en", tgt_lang="de"))
+    words = ["<pad>", "<unk>", "<sos>", "<eos>", "the", "man", "walks",
+             "Paris", ",", ".", "!", "a", "dog", "in", "sees", "x"]
+    Vocab(words).save(str(data_dir / "vocab.en.json"))
+    Vocab(words).save(str(data_dir / "vocab.de.json"))
+    tc = Truecaser.train([["the", "man", "walks", "in", "Paris", "."]] * 3
+                         + [["a", "dog", "sees", "the", "man", "."]] * 3)
+    tc.save(str(data_dir / "truecase.en.json"))
+    (data_dir / "preprocess.json").write_text(json.dumps(
+        {"tokenizer": "moses", "lower": False, "truecase": True}))
+
+    state = create_train_state(jax.random.key(0), cfg)
+    save_checkpoint(str(run_dir / "checkpoints"), "best", state, {})
+    (run_dir / "config.json").write_text(cfg.to_json())
+
+    tr = Translator.from_run(str(run_dir), data_dir=str(data_dir))
+    assert tr.tokenizer == "moses" and tr.truecaser is not None
+
+    # "The man walks, in Paris." -> moses tok splits ',' and '.';
+    # truecaser lowercases sentence-initial "The"; "Paris" keeps its capital
+    ids = tr._encode_line("The man walks, in Paris.")
+    decoded = [words[i] for i in ids]
+    assert decoded == ["the", "man", "walks", ",", "in", "Paris", "."]
+
+    # display path: random params, but output must be detokenized text
+    out = tr.translate(["The man walks."], display=True)
+    assert len(out) == 1 and isinstance(out[0], str)
+    assert "@@" not in out[0]

@@ -20,6 +20,7 @@ SURVEY.md C2)."""
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 from typing import List, Sequence
@@ -46,6 +47,13 @@ def preprocess_corpus(
     if truecase and lower:
         lower = False  # truecasing subsumes lowercasing
     os.makedirs(out_dir, exist_ok=True)
+    # Manifest lets downstream consumers (decode/serve.py) apply the SAME
+    # host preprocessing to raw input that training data went through —
+    # mismatched tokenization/casing silently degrades translation quality.
+    with open(os.path.join(out_dir, "preprocess.json"), "w") as f:
+        json.dump({"tokenizer": tokenizer, "lower": lower,
+                   "truecase": truecase, "langs": list(langs),
+                   "bpe_merges": bpe_merges}, f)
     for lang in langs:
         mt = MosesTokenizer(lang) if tokenizer == "moses" else None
 

@@ -2,14 +2,22 @@
 
 The reference's public surface decodes preprocessed split files; a production
 user wants to load a trained run once and translate arbitrary strings. The
-`Translator` wraps the full host pipeline (Moses-lite tokenize -> BPE apply,
-C++ fast path when built -> numericalize) around the fused on-device corpus
+`Translator` wraps the full host pipeline around the fused on-device corpus
 decode, reusing the jitted programs across calls (compile caches live on the
 module-level decode closures).
+
+Host preprocessing MIRRORS the run's training data exactly: the preprocess
+CLI writes a `preprocess.json` manifest (tokenizer choice, casing mode) next
+to the bpe/vocab artifacts, and `from_run` replays it — Moses tokenizer +
+learned truecaser when the corpus was truecased, lowercasing when it was
+lowercased. Mismatched host preprocessing silently degrades quality, which
+is why it is recorded rather than guessed.
 
     tr = Translator.from_run("runs/m30k_ende_vag")     # train out-dir
     tr.translate(["a man rides a bicycle", ...])       # -> German lines
     tr.translate(lines, images=feats)                  # (N, 2048) pool5 rows
+    tr.translate(lines, display=True)                  # detruecased +
+                                                       #   Moses-detokenized
 
 For a multimodal model, pass `images` (one pool5 feature row per line); when
 omitted, zero features are fed — the model still translates (the visual
@@ -19,6 +27,7 @@ text-only fallback behavior.
 
 from __future__ import annotations
 
+import json
 import os
 from typing import List, Optional, Sequence
 
@@ -27,20 +36,30 @@ import numpy as np
 
 class Translator:
     def __init__(self, cfg, params, src_bpe, src_vocab, tgt_vocab,
-                 lower: bool = True):
+                 lower: bool = True, tokenizer: str = "simple",
+                 truecaser=None):
         self.cfg = cfg
         self.params = params
         self.src_bpe = src_bpe
         self.src_vocab = src_vocab
         self.tgt_vocab = tgt_vocab
         self.lower = lower
+        self.tokenizer = tokenizer
+        self.truecaser = truecaser
+        self._moses_tok = None
+        if tokenizer == "moses":
+            from vag_nmt_tpu.data.moses import MosesTokenizer
+
+            self._moses_tok = MosesTokenizer(cfg.data.src_lang)
 
     @staticmethod
     def from_run(run_dir: str, data_dir: Optional[str] = None,
                  tag: str = "best") -> "Translator":
         """Load config + checkpoint from a train out-dir. `data_dir` (for the
         bpe/vocab artifacts) defaults to the data dir recorded in the saved
-        config."""
+        config. Host preprocessing follows the data dir's preprocess.json
+        manifest when present (older runs without one get the round-1
+        behavior: simple tokenizer, lowercase)."""
         import jax
 
         from vag_nmt_tpu.core.config import Config
@@ -60,15 +79,40 @@ class Translator:
                                  "tgt_vocab_size": len(tgt_vocab)})
         bpe_path = os.path.join(d, f"bpe.{cfg.data.src_lang}.json")
         src_bpe = BPE.load(bpe_path) if os.path.exists(bpe_path) else None
+
+        tokenizer, lower, truecaser = "simple", True, None
+        manifest = os.path.join(d, "preprocess.json")
+        if os.path.exists(manifest):
+            with open(manifest) as f:
+                man = json.load(f)
+            tokenizer = man.get("tokenizer", "simple")
+            lower = bool(man.get("lower", True))
+            if man.get("truecase"):
+                from vag_nmt_tpu.data.moses import Truecaser
+
+                tc_path = os.path.join(
+                    d, f"truecase.{cfg.data.src_lang}.json")
+                if os.path.exists(tc_path):
+                    truecaser = Truecaser.load(tc_path)
+
         template = create_train_state(jax.random.key(0), cfg)
         state, _ = load_checkpoint(
             os.path.join(run_dir, cfg.train.checkpoint_dir), tag, template)
-        return Translator(cfg, state.params, src_bpe, src_vocab, tgt_vocab)
+        return Translator(cfg, state.params, src_bpe, src_vocab, tgt_vocab,
+                          lower=lower, tokenizer=tokenizer,
+                          truecaser=truecaser)
 
     def _encode_line(self, line: str) -> List[int]:
-        from vag_nmt_tpu.data.tokenizer import tokenize
+        if self._moses_tok is not None:
+            toks = self._moses_tok.tokenize(line)
+            if self.lower:
+                toks = [t.lower() for t in toks]
+        else:
+            from vag_nmt_tpu.data.tokenizer import tokenize
 
-        toks = tokenize(line, lower=self.lower)
+            toks = tokenize(line, lower=self.lower)
+        if self.truecaser is not None:
+            toks = self.truecaser.truecase(toks)
         if self.src_bpe is not None:
             toks = self.src_bpe.encode_line(" ".join(toks))
         return self.src_vocab.encode(toks)[: self.cfg.data.max_src_len]
@@ -78,7 +122,11 @@ class Translator:
         lines: Sequence[str],
         images: Optional[np.ndarray] = None,   # (N, img_feat_dim) pool5 rows
         beam_size: Optional[int] = None,
+        display: bool = False,
     ) -> List[str]:
+        """Returns tokenized hypothesis lines (the scoring convention).
+        display=True additionally detruecases sentence-initial casing and
+        Moses-detokenizes for human-facing output."""
         from vag_nmt_tpu.data.batching import Example
         from vag_nmt_tpu.decode.translate import translate_corpus
 
@@ -100,4 +148,14 @@ class Translator:
             exs.append(Example(src=ids, img=img, index=i))
         hyps, _ = translate_corpus(self.params, self.cfg, exs, self.tgt_vocab,
                                    beam_size=beam_size)
+        if display:
+            from vag_nmt_tpu.data.moses import Truecaser, moses_detokenize
+
+            out = []
+            for h in hyps:
+                toks = h.split()
+                if self.truecaser is not None:
+                    toks = Truecaser.detruecase(toks)
+                out.append(moses_detokenize(toks, self.cfg.data.tgt_lang))
+            return out
         return hyps
