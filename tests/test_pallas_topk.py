@@ -19,6 +19,7 @@ def _mk(B, K, V, seed=0, finished_frac=0.0):
     return logits, scores, finished
 
 
+@pytest.mark.parametrize("impl", ["pallas", "pallas_rows"])
 @pytest.mark.parametrize("B,K,V,ff", [
     (8, 5, 1000, 0.0),
     (8, 5, 1000, 0.4),     # mixed finished rows
@@ -26,10 +27,10 @@ def _mk(B, K, V, seed=0, finished_frac=0.0):
     (4, 3, 512, 1.0),      # everything finished
     (2, 1, 700, 0.0),      # K=1 (greedy-equivalent)
 ])
-def test_pallas_matches_xla_reference(B, K, V, ff):
+def test_pallas_matches_xla_reference(B, K, V, ff, impl):
     logits, scores, finished = _mk(B, K, V, seed=B + V, finished_frac=ff)
     v_ref, i_ref = beam_topk(logits, scores, finished, impl="xla")
-    v_pal, i_pal = beam_topk(logits, scores, finished, impl="pallas")
+    v_pal, i_pal = beam_topk(logits, scores, finished, impl=impl)
     np.testing.assert_allclose(np.asarray(v_pal), np.asarray(v_ref),
                                rtol=0, atol=0)
     # indices must agree exactly away from value ties; on ties accept any

@@ -16,15 +16,21 @@ implementations with identical results (tests assert exact equality):
   (sentence_tiles, vocab_blocks), scratch carrying between j-steps — the
   standard revisiting pattern); selection is K unrolled extract-max rounds
   (Mosaic-friendly max + iota-min argmax). HBM traffic is one logits read.
+- `impl="pallas_rows"`: round-2 retuning per the round-1 diagnosis — 2-D
+  (tb*K, tv) row tiles (full sublane utilization; the 3-D layout pads K=5
+  sublanes to 8), per-row running top-K in the kernel, tiny (B, K*K)
+  cross-beam combine in XLA.
 
-Measured in-context (m30k flagship corpus decode, B=256, K=5, V=8000,
-1×v5e): the XLA path decodes at ~3.4k sent/s, the Pallas kernel at ~2.4k —
-the kernel's (tb, K, tv) block layout under-utilizes the (8,128) vregs
-(K=5 in the sublane dim), so XLA remains the default. The kernel is kept
-as the exact-parity alternative (`VAG_TOPK_IMPL=pallas` or impl=) and a
-base for future layout tuning; on ties it prefers smaller flat index
-within a vocab block and earlier blocks across blocks (matching top_k
-except a cross-beam/cross-block tie corner)."""
+Measured dispatch-amortized at the decode shape (B=128, K=5, V=8000, 1×v5e,
+200 chained calls/dispatch): XLA 243 us, pallas 702 us, pallas_rows 522 us.
+The layout fix bought 26%, but this is a DOCUMENTED DEAD END against XLA's
+fused TopK: extract-max selection inherently rescans the candidate block K
+times (+ merge rounds), while XLA's TopK custom call runs a single-pass
+partial-selection network that Pallas has no primitive for. Both kernels
+stay exact-parity alternatives (`VAG_TOPK_IMPL=pallas|pallas_rows`), XLA
+stays the production default. Tie-breaking: smaller flat index within a
+vocab block, earlier blocks across blocks (matching top_k except a
+cross-beam/cross-block tie corner)."""
 
 from __future__ import annotations
 
@@ -116,6 +122,72 @@ def _kernel(logits_ref, base_ref, fin_ref, vals_ref, idx_ref,
     idx_ref[...] = run_idx[...]
 
 
+def _kernel_rows(logits_ref, base_ref, fin_ref, vals_ref, idx_ref,
+                 run_vals, run_idx, *, V: int, tv: int, pad_id: int, K: int):
+    """Row-major layout: candidates live in (tb*K, tv) 2-D tiles with FULL
+    sublane utilization — the 3-D (tb, K, tv) layout pads K=5 up to 8
+    sublanes and burns ~1.6x the vector registers. Every operation here is
+    per-ROW ((sentence, beam) pairs are independent): K extract-max rounds
+    over the block, then a (R, 2K) merge with the per-row running top-K.
+    The tiny cross-beam merge (K*K -> K per sentence) happens OUTSIDE in
+    XLA — Mosaic cannot shape-cast (tb*K, K) -> (tb, K*K) vectors."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        run_vals[:] = jnp.full_like(run_vals, _FLOOR)
+        run_idx[:] = jnp.zeros_like(run_idx)
+
+    blk = logits_ref[...]                        # (R, tv), R = tb*K
+    R = blk.shape[0]
+    base = base_ref[...]                         # (R, 1)
+    fin = fin_ref[...]                           # (R, 1)
+
+    vglob = j * tv + jax.lax.broadcasted_iota(jnp.int32, (R, tv), 1)
+    live = base + blk
+    froz = jnp.where(vglob == pad_id, base, base + NEG_INF)
+    cand = jnp.where(fin > 0, froz, live)
+    cand = jnp.where(vglob < V, cand, _FLOOR)
+
+    viota = jax.lax.broadcasted_iota(jnp.int32, (R, tv), 1)
+    BIG = jnp.int32(2**30)
+
+    # K extract-max rounds per row -> (R, K) block-local top-K. Ties pick
+    # the smaller vocab index (min-iota), like lax.top_k.
+    rvals = []
+    ridx = []
+    for _ in range(K):
+        m = jnp.max(cand, axis=1)                             # (R,)
+        a = jnp.min(jnp.where(cand == m[:, None], viota, BIG),
+                    axis=1).astype(jnp.int32)                 # (R,)
+        rvals.append(m)
+        ridx.append(j * tv + a)                               # global vocab id
+        cand = jnp.where(viota == a[:, None], _FLOOR, cand)
+    blk_vals = jnp.stack(rvals, axis=1)                       # (R, K)
+    blk_idx = jnp.stack(ridx, axis=1)
+
+    # Merge with the per-row running top-K; running entries first so earlier
+    # vocab blocks win ties.
+    allv = jnp.concatenate([run_vals[...], blk_vals], axis=1)  # (R, 2K)
+    alli = jnp.concatenate([run_idx[...], blk_idx], axis=1)
+    pos = jax.lax.broadcasted_iota(jnp.int32, allv.shape, 1)
+    nvals = []
+    nidx = []
+    for _ in range(K):
+        m = jnp.max(allv, axis=1)
+        a = jnp.min(jnp.where(allv == m[:, None], pos, BIG),
+                    axis=1).astype(jnp.int32)
+        sel = pos == a[:, None]
+        nvals.append(m)
+        nidx.append(jnp.sum(jnp.where(sel, alli, 0), axis=1))
+        allv = jnp.where(sel, _FLOOR, allv)
+    run_vals[:] = jnp.stack(nvals, axis=1)
+    run_idx[:] = jnp.stack(nidx, axis=1)
+
+    vals_ref[...] = run_vals[...]
+    idx_ref[...] = run_idx[...]
+
+
 @functools.partial(jax.jit, static_argnames=("pad_id", "impl"))
 def beam_topk(
     logits: jnp.ndarray,      # (B, K, V) fp32 raw decoder logits
@@ -144,7 +216,7 @@ def beam_topk(
         import os
 
         impl = os.environ.get("VAG_TOPK_IMPL", "")
-        if impl not in ("xla", "pallas"):
+        if impl not in ("xla", "pallas", "pallas_rows"):
             impl = "xla"        # measured faster in-context; see module doc
 
     if impl == "xla":
@@ -164,6 +236,41 @@ def beam_topk(
     tb = 16 if B % 16 == 0 else (8 if B % 8 == 0 else (4 if B % 4 == 0 else 1))
     tv = 512
     nv = -(-V // tv)
+    if impl == "pallas_rows":
+        # Kernel returns per-ROW top-K (R = B*K rows); the K*K -> K
+        # per-sentence combine is a trivial (B, K*K) lax.top_k in XLA.
+        rvals, ridx = pl.pallas_call(
+            functools.partial(_kernel_rows, V=V, tv=tv, pad_id=pad_id, K=K),
+            grid=(B // tb, nv),
+            in_specs=[
+                pl.BlockSpec((tb * K, tv), lambda i, j: (i, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tb * K, 1), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tb * K, 1), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((tb * K, K), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tb * K, K), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((B * K, K), jnp.float32),
+                jax.ShapeDtypeStruct((B * K, K), jnp.int32),
+            ],
+            scratch_shapes=[pltpu.VMEM((tb * K, K), jnp.float32),
+                            pltpu.VMEM((tb * K, K), jnp.int32)],
+            interpret=_interpret(),
+        )(logits.reshape(B * K, V), base.reshape(B * K, 1),
+          finf.reshape(B * K, 1))
+        # beam-major candidate order -> top_k's first-occurrence tie-break
+        # prefers the lower beam, matching the 3-D kernel's rule
+        beam = jnp.arange(K, dtype=jnp.int32)[None, :, None]
+        flat = (ridx.reshape(B, K, K) + beam * V).reshape(B, K * K)
+        vals, pos = jax.lax.top_k(rvals.reshape(B, K * K), K)
+        return vals, jnp.take_along_axis(flat, pos, axis=1)
     vals, idx = pl.pallas_call(
         functools.partial(_kernel, V=V, tv=tv, pad_id=pad_id, K=K),
         grid=(B // tb, nv),
