@@ -87,8 +87,17 @@ def main() -> None:
     print(json.dumps({"stage": "translate", "seconds": round(dt, 1)}),
           flush=True)
 
-    _, out = cli("score", "--hyp", hyp,
-                 "--ref", os.path.join(prep, "test2016.de"),
+    # translate writes de-BPE'd hypotheses (multi-bleu convention), so the
+    # reference must be de-BPE'd too — scoring against the raw BPE'd split
+    # file cross-compares segmentations and reads as ~1 BLEU.
+    from vag_nmt_tpu.data.bpe import remove_bpe
+
+    ref = os.path.join(args.out, "ref_debpe.de")
+    with open(os.path.join(prep, "test2016.de"), encoding="utf-8") as f, \
+            open(ref, "w", encoding="utf-8") as g:
+        for ln in f.read().splitlines():
+            g.write(" ".join(remove_bpe(ln.split())) + "\n")
+    _, out = cli("score", "--hyp", hyp, "--ref", ref,
                  "--meteor", "--lang", "de", capture=True)
     print(json.dumps({"stage": "score", "out": out.strip().splitlines()[0]}),
           flush=True)
