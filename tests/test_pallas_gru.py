@@ -61,6 +61,58 @@ def test_gradients_match_xla_oracle(reverse):
                                    rtol=2e-4, atol=2e-5, err_msg=name)
 
 
+@pytest.mark.parametrize("reverse", [False, True])
+def test_sharded_kernel_matches_single_device(reverse):
+    """shard_map'ed kernel over an 8-device 'data' mesh ≡ unsharded XLA scan:
+    forward states AND grads (incl. the psum'ed replicated weight grads)."""
+    from vag_nmt_tpu.ops.pallas_gru import shard_mesh
+    from vag_nmt_tpu.parallel.sharding import make_mesh
+
+    params, x, mask, h0 = _setup(B=16, T=12, E=16, H=32)
+    mesh = make_mesh(n_data=8, n_model=1)
+
+    def loss(impl, mesh_ctx):
+        def f(params, x, h0):
+            with shard_mesh(mesh_ctx):
+                hs, hl = gru_scan(params, x, mask, h0, reverse=reverse,
+                                  impl=impl)
+            w = jnp.arange(1, hs.shape[1] + 1, dtype=jnp.float32)[None, :, None]
+            return (hs * w).sum() + 2.0 * (hl ** 2).sum()
+        return f
+
+    with shard_mesh(mesh):
+        hs, hl = gru_scan(params, x, mask, h0, reverse=reverse, impl="pallas")
+    hs_ref, hl_ref = gru_scan(params, x, mask, h0, reverse=reverse, impl="xla")
+    np.testing.assert_allclose(np.asarray(hs), np.asarray(hs_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(hl), np.asarray(hl_ref),
+                               rtol=1e-5, atol=1e-5)
+
+    g_ref = jax.grad(loss("xla", None), argnums=(0, 1, 2))(params, x, h0)
+    g_dp = jax.grad(loss("pallas", mesh), argnums=(0, 1, 2))(params, x, h0)
+    for a, b, name in [
+        (g_dp[0]["wi"], g_ref[0]["wi"], "wi"),
+        (g_dp[0]["bi"], g_ref[0]["bi"], "bi"),
+        (g_dp[0]["uh"], g_ref[0]["uh"], "uh"),
+        (g_dp[0]["bh"], g_ref[0]["bh"], "bh"),
+        (g_dp[1], g_ref[1], "x"),
+        (g_dp[2], g_ref[2], "h0"),
+    ]:
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5, err_msg=name)
+
+
+def test_sharded_kernel_rejects_indivisible_batch():
+    from vag_nmt_tpu.ops.pallas_gru import shard_mesh
+    from vag_nmt_tpu.parallel.sharding import make_mesh
+
+    params, x, mask, h0 = _setup(B=6, T=8, E=16, H=32)
+    mesh = make_mesh(n_data=8, n_model=1)
+    with pytest.raises(ValueError, match="divisible"):
+        with shard_mesh(mesh):
+            gru_scan(params, x, mask, h0, impl="pallas")
+
+
 def test_padding_invariance_pallas():
     """Same sentence in a longer bucket -> identical states at real tokens."""
     params, x, mask, h0 = _setup(B=8, T=10)

@@ -116,6 +116,21 @@ def test_dp_mesh_matches_single_device(toy_cfg):
         np.testing.assert_allclose(x, y, rtol=2e-3, atol=2e-4)
 
 
+def test_dp_mesh_pallas_kernel_matches_single_device(toy_cfg):
+    """The shard_map'ed Pallas GRU path (gru_impl='pallas', interpret mode on
+    CPU) under an 8-device DP mesh ≡ the single-device XLA run: the full train
+    step — fwd, custom-VJP bwd, weight-grad all-reduce, Adam — agrees."""
+    cfg = toy_cfg.replace(model=dict(gru_impl="pallas"))
+    exs = make_toy_examples(64, seed=3, img_dim=cfg.model.img_feat_dim)
+    state_1, losses_1 = _run_steps(toy_cfg, exs, 3)
+    mesh = make_mesh(n_data=8, n_model=1)
+    state_8, losses_8 = _run_steps(cfg, exs, 3, mesh=mesh)
+    np.testing.assert_allclose(losses_1, losses_8, rtol=2e-4, atol=2e-5)
+    for x, y in zip(jax.tree.leaves(jax.device_get(state_1.params)),
+                    jax.tree.leaves(jax.device_get(state_8.params))):
+        np.testing.assert_allclose(x, y, rtol=2e-3, atol=2e-4)
+
+
 def test_tp_mesh_matches_single_device(toy_cfg):
     """(data=4, model=2) mesh — vocab-dim TP on embeddings/readout — is
     numerically ≡ the single-device run (SURVEY.md §2 parallelism table)."""

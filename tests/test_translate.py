@@ -123,6 +123,20 @@ def test_mesh_sharded_decode_matches_single_device(setup):
     assert st["sentences"] == len(examples)
 
 
+def test_mesh_sharded_decode_pallas_encoder_matches_single_device(setup):
+    """Mesh decode with the shard_map'ed Pallas GRU encoder (gru_impl=
+    'pallas', interpret mode on CPU) ≡ single-device XLA hypotheses."""
+    from vag_nmt_tpu.parallel.sharding import make_mesh
+
+    cfg, params, examples, vocab = setup
+    mesh = make_mesh(n_data=8, n_model=1)
+    h_1, _ = translate_corpus(params, cfg, examples, vocab, fused=True)
+    cfg_p = cfg.replace(model=dict(gru_impl="pallas"))
+    h_m, _ = translate_corpus(params, cfg_p, examples, vocab, fused=True,
+                              mesh=mesh)
+    assert h_m == h_1
+
+
 def test_mesh_sharded_decode_rounds_batch_up(setup):
     """decode_batch_size not divisible by the data axis is rounded up."""
     from vag_nmt_tpu.parallel.sharding import make_mesh

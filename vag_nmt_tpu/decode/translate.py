@@ -71,11 +71,16 @@ def make_fused_corpus_fn(cfg: Config, beam_size: int, max_len: int,
     DP needs no collectives beyond the while_loop's all-finished reduction —
     GSPMD inserts that. The chunk axis stays unsharded (lax.map is
     sequential by construction)."""
-    if mesh is not None and cfg.model.gru_impl == "auto":
-        # GSPMD cannot partition a Pallas custom call (see train/step.py).
-        cfg = cfg.replace(model=dict(gru_impl="xla"))
-
     def run(params, src, src_lens, ids, img_table):
+        # Under a mesh the encoder's Pallas GRU kernel is shard_map'ed over
+        # 'data' (trace-time context; see ops/pallas_gru.shard_mesh) — the
+        # rest of the decode graph stays GSPMD-partitioned.
+        from vag_nmt_tpu.ops.pallas_gru import shard_mesh
+
+        with shard_mesh(mesh):
+            return _run_body(params, src, src_lens, ids, img_table)
+
+    def _run_body(params, src, src_lens, ids, img_table):
         if cfg.model.compute_dtype == "bfloat16":
             params = cast_floats(params, jnp.bfloat16)
 

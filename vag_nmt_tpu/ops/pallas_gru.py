@@ -26,6 +26,8 @@ per batch tile and reduce over tiles outside. The public entry
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 import functools
 from typing import Dict, Tuple
 
@@ -33,8 +35,31 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import PartitionSpec as P
 
 Params = Dict[str, jnp.ndarray]
+
+# --- mesh context for the shard_map'ed data-parallel kernel path ----------
+#
+# GSPMD cannot partition a Pallas custom call, so under a multi-device mesh
+# the kernel is wrapped in jax.shard_map: batch rows split over the 'data'
+# axis, weights replicated, each shard running the same grid. The mesh is
+# delivered by trace-time context (set inside the jitted step's Python body
+# by train/step.py and decode/translate.py) so model/op code stays
+# signature-compatible with the single-device path.
+_SHARD_MESH: contextvars.ContextVar = contextvars.ContextVar(
+    "pallas_gru_shard_mesh", default=None)
+
+
+@contextlib.contextmanager
+def shard_mesh(mesh):
+    """Trace-time context: `with shard_mesh(mesh): ...` makes pallas_gru_scan
+    shard its kernel over the mesh's 'data' axis. mesh=None is a no-op."""
+    tok = _SHARD_MESH.set(mesh)
+    try:
+        yield
+    finally:
+        _SHARD_MESH.reset(tok)
 
 
 def _interpret() -> bool:
@@ -295,6 +320,38 @@ def _scan_bwd(reverse, res, g_t):
 _scan.defvjp(_scan_fwd, _scan_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Data-parallel wrapper: the same kernel per mesh shard. The scan is batch-
+# parallel, so each shard runs the identical grid on its rows; the one
+# collective DP needs — all-reducing the weight grads (du, dbh) over 'data' —
+# is inserted by shard_map's own transpose for the P()-specced (replicated)
+# weight inputs (verified: adding an explicit psum on top gave exactly
+# n_data-times-too-large grads). check_vma=False because the Pallas call does
+# not carry varying-axis metadata; correctness is pinned by the 8-device
+# equivalence test in tests/test_pallas_gru.py.
+# ---------------------------------------------------------------------------
+
+def _sharded_scan(mesh, xg_t, mask_t, uh, bh, h0, reverse):
+    from vag_nmt_tpu.parallel.sharding import DATA_AXIS
+
+    B = xg_t.shape[1]
+    n_data = mesh.shape[DATA_AXIS]
+    if B % n_data:
+        raise ValueError(
+            f"pallas GRU under a mesh needs batch divisible by the 'data' "
+            f"axis (batch {B}, data {n_data})")
+    bspec = P(None, DATA_AXIS, None)   # (T, B, *) tensors, batch on dim 1
+
+    def body(xg_t, mask_t, uh, bh, h0):
+        return _scan(xg_t, mask_t, uh, bh, h0, reverse)
+
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(bspec, bspec, P(), P(), P(DATA_AXIS, None)),
+        out_specs=bspec, check_vma=False,
+    )(xg_t, mask_t, uh, bh, h0)
+
+
 def pallas_gru_scan(
     params: Params,
     x: jnp.ndarray,            # (B, T, E)
@@ -309,9 +366,15 @@ def pallas_gru_scan(
     xg = gru_gates_from_x(params, x)                  # big MXU matmul, XLA
     xg_t = jnp.swapaxes(xg, 0, 1).astype(jnp.float32)        # (T, B, 3H)
     mask_t = jnp.swapaxes(mask, 0, 1)[..., None].astype(jnp.float32)
-    hs_t = _scan(xg_t, mask_t, params["uh"].astype(jnp.float32),
-                 params["bh"].astype(jnp.float32), h0.astype(jnp.float32),
-                 reverse)
+    args = (xg_t, mask_t, params["uh"].astype(jnp.float32),
+            params["bh"].astype(jnp.float32), h0.astype(jnp.float32))
+    mesh = _SHARD_MESH.get()
+    from vag_nmt_tpu.parallel.sharding import DATA_AXIS
+
+    if mesh is not None and DATA_AXIS in mesh.shape and mesh.shape[DATA_AXIS] > 1:
+        hs_t = _sharded_scan(mesh, *args, reverse)
+    else:
+        hs_t = _scan(*args, reverse)
     hs = jnp.swapaxes(hs_t, 0, 1).astype(x.dtype)
     h_last = hs[:, 0] if reverse else hs[:, -1]
     return hs, h_last

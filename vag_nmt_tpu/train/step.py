@@ -48,16 +48,20 @@ def make_train_step(
     the gather happens on device. Feeding the ~0.5 MB of pool5 features per
     batch from the host dominated wall-clock step time (device compute is
     <1 ms); with the table the per-step feed is a few KB."""
-    if mesh is not None and cfg.model.gru_impl == "auto":
-        # GSPMD cannot partition a Pallas custom call over the mesh; under
-        # multi-device shardings 'auto' resolves to the XLA scan (a
-        # shard_map'ed kernel is the future path). Explicit "pallas" is
-        # honored as requested.
-        cfg = cfg.replace(model=dict(gru_impl="xla"))
     tx = make_optimizer(cfg)
 
     def step(state: TrainState, batch: Dict[str, jnp.ndarray],
              base_rng: jax.Array, img_table: Optional[jax.Array] = None):
+        # Trace-time context: under a mesh the Pallas GRU kernel (gru_impl
+        # "auto" on TPU / explicit "pallas") is shard_map'ed over 'data' —
+        # GSPMD can't partition a custom call, but the scan is batch-parallel
+        # so each shard runs the same grid and only the weight grads psum.
+        from vag_nmt_tpu.ops.pallas_gru import shard_mesh
+
+        with shard_mesh(mesh):
+            return _step_body(state, batch, base_rng, img_table)
+
+    def _step_body(state, batch, base_rng, img_table):
         rng = jax.random.fold_in(base_rng, state.step)
         if with_img_table:
             batch = dict(batch)
