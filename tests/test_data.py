@@ -144,6 +144,78 @@ def test_batcher_epoch_shuffle_is_deterministic_and_varies_by_epoch():
     assert order0a != order1
 
 
+def test_compact_batches_expand_to_classic_keys():
+    """compact=True batches (uint16 tokens + lengths) expanded ON DEVICE by
+    expand_compact_batch reproduce the classic keys exactly on real rows;
+    filler rows differ only where every loss mask is zero."""
+    import jax.numpy as jnp
+
+    from vag_nmt_tpu.train.step import expand_compact_batch
+
+    exs = _examples(21, seed=4)                     # 21 % 8 != 0 -> filler rows
+    kw = dict(batch_size=8, src_buckets=(8, 16), image_ids=True)
+    classic = BucketBatcher(exs, **kw)
+    compact = BucketBatcher(exs, **kw, compact=True)
+    n = 0
+    for cb, kb in zip(compact.epoch(0, shuffle=False),
+                      classic.epoch(0, shuffle=False)):
+        assert cb["src"].dtype == np.uint16 and cb["tgt"].dtype == np.uint16
+        exp = {k: np.asarray(v) for k, v in
+               expand_compact_batch({k: jnp.asarray(v)
+                                     for k, v in cb.items()}).items()}
+        np.testing.assert_array_equal(exp["src"], kb["src"])
+        np.testing.assert_array_equal(exp["src_mask"], kb["src_mask"])
+        np.testing.assert_array_equal(exp["tgt_mask"], kb["tgt_mask"])
+        np.testing.assert_array_equal(exp["sample_mask"], kb["sample_mask"])
+        np.testing.assert_array_equal(exp["img_ids"], kb["img_ids"])
+        real = kb["sample_mask"] > 0
+        np.testing.assert_array_equal(exp["tgt_in"][real], kb["tgt_in"][real])
+        np.testing.assert_array_equal(exp["tgt_out"][real], kb["tgt_out"][real])
+        # filler rows: every loss term is masked out
+        assert (exp["tgt_mask"][~real] == 0).all()
+        n += 1
+    assert n == classic.num_batches()
+
+
+def test_compact_batches_reject_oversized_vocab():
+    big = [Example(src=[70000], tgt=[5], index=0)]
+    with pytest.raises(ValueError, match="65536"):
+        BucketBatcher(big, batch_size=1, src_buckets=(8,), compact=True)
+
+
+def test_compact_train_step_matches_classic(tmp_path):
+    """One jitted train step fed compact batches ≡ fed classic batches
+    (same weights in, same weights out)."""
+    import jax
+
+    from vag_nmt_tpu.core.config import preset
+    from vag_nmt_tpu.train.state import create_train_state
+    from vag_nmt_tpu.train.step import make_train_step
+
+    cfg = preset("toy")
+    exs = _examples(16, seed=5, with_img=True,
+                    img_dim=cfg.model.img_feat_dim)
+    for ex in exs:
+        ex.img = None                                # table path carries ids
+    kw = dict(batch_size=8, src_buckets=(8, 16), image_ids=True,
+              img_dim=cfg.model.img_feat_dim)
+    rng = np.random.RandomState(0)
+    table = jax.device_put(
+        rng.randn(len(exs), cfg.model.img_feat_dim).astype(np.float32))
+    results = []
+    for compact in (False, True):
+        b = BucketBatcher(exs, **kw, compact=compact)
+        state = create_train_state(jax.random.key(1), cfg)
+        example = next(iter(b.epoch(0, shuffle=False)))
+        step_fn, _ = make_train_step(cfg, None, state, example,
+                                     with_img_table=True)
+        for batch in b.epoch(0, shuffle=False):
+            state, aux = step_fn(state, batch, jax.random.key(2), table)
+        results.append(jax.device_get(state.params))
+    for x, y in zip(*(jax.tree.leaves(r) for r in results)):
+        np.testing.assert_allclose(x, y, rtol=1e-6, atol=1e-7)
+
+
 def test_batcher_includes_images_when_asked():
     exs = _examples(5, with_img=True, img_dim=8)
     b = BucketBatcher(exs, batch_size=4, src_buckets=(16,),

@@ -100,6 +100,31 @@ def test_checkpoint_roundtrip_and_bitexact_resume(toy_cfg, tmp_path):
                          jax.device_get(state10b.params))
 
 
+def test_async_checkpointer_matches_sync_and_survives_donation(toy_cfg,
+                                                               tmp_path):
+    """AsyncCheckpointer writes the same restorable state as the sync save,
+    and its on-device snapshot is immune to the train step donating the
+    state buffers right after save() returns."""
+    from vag_nmt_tpu.train.checkpoint import AsyncCheckpointer
+
+    exs = make_toy_examples(32, seed=7, img_dim=toy_cfg.model.img_feat_dim)
+    state, _ = _run_steps(toy_cfg, exs, 3)
+    expected = jax.device_get(state.params)
+
+    ck = AsyncCheckpointer()
+    ck.save(str(tmp_path), "last", state, {"epoch": 1})
+    # Keep training immediately: donation reuses the live buffers while the
+    # background fetch runs off the snapshot.
+    state2, _ = _run_steps(toy_cfg, exs, 2, state=state)
+    ck.wait()
+
+    template = create_train_state(jax.random.key(toy_cfg.train.seed), toy_cfg)
+    restored, meta = load_checkpoint(str(tmp_path), "last", template)
+    assert meta["epoch"] == 1
+    assert tree_allclose(restored.params, expected)
+    assert not tree_allclose(restored.params, jax.device_get(state2.params))
+
+
 def test_dp_mesh_matches_single_device(toy_cfg):
     """8-virtual-device DP run is numerically ≡ the single-device run at equal
     global batch (SURVEY.md §4 'multi-node without hardware')."""

@@ -56,10 +56,19 @@ class BucketBatcher:
         include_image: bool = False,
         image_ids: bool = False,
         img_dim: int = 2048,
+        compact: bool = False,
     ):
         """image_ids=True: batches carry int32 "img_ids" (positions into
         `examples`, filler rows 0) instead of feature rows — for train/decode
-        paths that gather from a device-resident table (build_img_table)."""
+        paths that gather from a device-resident table (build_img_table).
+
+        compact=True (train hot path): batches carry uint16 tokens + int32
+        lengths only — {src, tgt, src_len, tgt_len, sample_mask[, img_ids]} —
+        and the masks / shifted tgt_in/tgt_out are built ON DEVICE by
+        train.step.expand_compact_batch (bit-identical to the classic keys,
+        tested). ~4x fewer feed bytes and ~half the device_put calls per
+        step; requires vocab ids < 65536 (checked). The flops/shape key uses
+        "tgt" (width = tgt bucket, same as tgt_in)."""
         self.examples = list(examples)
         self.batch_size = batch_size
         self.src_buckets = sorted(src_buckets)
@@ -68,6 +77,21 @@ class BucketBatcher:
         self.include_image = include_image
         self.image_ids = image_ids
         self.img_dim = img_dim
+        self.compact = compact
+        if compact:
+            if include_image:
+                raise ValueError(
+                    "compact batches carry img_ids (device-table gather), "
+                    "not feature rows; use image_ids=True")
+            big = max((max(ex.src, default=0) for ex in self.examples),
+                      default=0)
+            bigt = max((max(ex.tgt, default=0)
+                        for ex in self.examples if ex.tgt is not None),
+                       default=0)
+            if big > 65535 or bigt > 65535:
+                raise ValueError(
+                    "compact batches transport token ids as uint16; vocab "
+                    f"ids must be < 65536 (saw src max {big}, tgt max {bigt})")
 
     def _assign(self) -> Dict[Tuple[int, int], List[int]]:
         groups: Dict[Tuple[int, int], List[int]] = {}
@@ -87,6 +111,30 @@ class BucketBatcher:
         self._row_of: Dict[int, int] = {}
         for (bs, bt), idxs in self._assign().items():
             n = len(idxs)
+            if self.compact:
+                g = {
+                    "src": np.full((n, bs), PAD_ID, np.uint16),
+                    "src_len": np.zeros((n,), np.int32),
+                    "tgt": np.full((n, bt), PAD_ID, np.uint16),
+                    "tgt_len": np.zeros((n,), np.int32),
+                    "sample_mask": np.ones((n,), np.float32),
+                }
+                if self.image_ids:
+                    g["img_ids"] = np.zeros((n,), np.int32)
+                for r, i in enumerate(idxs):
+                    ex = self.examples[i]
+                    self._row_of[i] = r
+                    L = min(len(ex.src), bs)
+                    g["src"][r, :L] = ex.src[:L]
+                    g["src_len"][r] = L
+                    if ex.tgt is not None:
+                        t = ex.tgt[: bt - 1]
+                        g["tgt"][r, : len(t)] = t
+                        g["tgt_len"][r] = len(t)
+                    if self.image_ids:
+                        g["img_ids"][r] = i
+                self._mat[(bs, bt)] = g
+                continue
             g = {
                 "src": np.full((n, bs), PAD_ID, np.int32),
                 "src_mask": np.zeros((n, bs), np.float32),
@@ -132,7 +180,7 @@ class BucketBatcher:
             got = m[rows]
             if n < B:        # pad short final batches to the fixed shape
                 full = np.zeros((B,) + m.shape[1:], m.dtype)
-                if key in ("src", "tgt_in", "tgt_out"):
+                if key in ("src", "tgt", "tgt_in", "tgt_out"):
                     full[:] = PAD_ID
                 elif key == "index":
                     full[:] = -1

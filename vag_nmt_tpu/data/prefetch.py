@@ -21,9 +21,12 @@ def device_prefetch(
     queue: deque = deque()
 
     def put(batch):
+        # ONE device_put for the whole pytree: each separate call pays fixed
+        # host-side dispatch overhead (~0.1 ms measured), so per-key puts
+        # cost ~1 ms/batch at 9 keys.
         if sharding is not None:
-            return {k: jax.device_put(v, sharding) for k, v in batch.items()}
-        return {k: jax.device_put(v) for k, v in batch.items()}
+            return jax.device_put(batch, sharding)
+        return jax.device_put(batch)
 
     for batch in it:
         queue.append(put(batch))

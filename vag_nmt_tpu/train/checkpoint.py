@@ -8,6 +8,7 @@ through flax.serialization msgpack, so training resumes bit-exactly. A
 
 from __future__ import annotations
 
+import concurrent.futures
 import json
 import os
 from typing import Any, Dict, Optional, Tuple
@@ -90,6 +91,50 @@ def save_checkpoint(ckpt_dir: str, tag: str, state: TrainState,
     with open(meta_path + ".tmp", "w") as f:
         json.dump(meta, f)
     os.replace(meta_path + ".tmp", meta_path)
+
+
+class AsyncCheckpointer:
+    """Overlap checkpoint device->host fetch + file write with training.
+
+    The synchronous save stalls the train loop for the full state fetch
+    (measured 26-52 s per save at m30k scale on a tunneled chip; seconds on
+    local PCIe). save() instead snapshots the state ON DEVICE — one cheap
+    HBM-to-HBM copy per leaf — and hands fetch/serialize/atomic-write to a
+    single background worker, so the next epoch's steps run during the
+    transfer. The device snapshot is what makes this safe under buffer
+    donation: the jitted step donates state buffers in place, so fetching
+    the live arrays after the next step would read reused memory.
+
+    One save in flight at a time: a new save() first drains the previous
+    (bounds peak HBM to one extra state copy, preserves write order). Call
+    wait() at loop exit so "last" is durable before the process returns;
+    worker exceptions re-raise there."""
+
+    def __init__(self):
+        self._ex = concurrent.futures.ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="ckpt")
+        self._fut: Optional[concurrent.futures.Future] = None
+
+    def save(self, ckpt_dir: str, tag: str, state: TrainState,
+             meta: Optional[Dict[str, Any]] = None,
+             skip_if_busy: bool = False) -> bool:
+        """skip_if_busy=True: if a previous save is still fetching/writing,
+        skip this one and return False. Used for routine epoch-boundary
+        "last" saves so a slow link (fetch > epoch time) self-tunes to
+        checkpointing as often as the link allows, at the cost of resume
+        lag — never used for the final save or for "best"."""
+        if skip_if_busy and self._fut is not None and not self._fut.done():
+            return False
+        self.wait()
+        snap = jax.tree.map(
+            lambda x: x.copy() if isinstance(x, jax.Array) else x, state)
+        self._fut = self._ex.submit(save_checkpoint, ckpt_dir, tag, snap, meta)
+        return True
+
+    def wait(self) -> None:
+        if self._fut is not None:
+            fut, self._fut = self._fut, None
+            fut.result()
 
 
 def load_checkpoint(ckpt_dir: str, tag: str,

@@ -22,9 +22,9 @@ from vag_nmt_tpu.decode.translate import translate_corpus
 from vag_nmt_tpu.evaluation.bleu import corpus_bleu
 from vag_nmt_tpu.parallel.sharding import batch_sharding
 from vag_nmt_tpu.train.checkpoint import (
+    AsyncCheckpointer,
     has_checkpoint,
     load_checkpoint,
-    save_checkpoint,
 )
 from vag_nmt_tpu.train.state import TrainState, create_train_state
 from vag_nmt_tpu.train.step import make_train_step
@@ -44,6 +44,10 @@ def train_loop(
 ) -> Dict[str, float]:
     log = logger or MetricsLogger(os.path.join(out_dir, "metrics.jsonl"))
     ckpt_dir = os.path.join(out_dir, cfg.train.checkpoint_dir)
+    # Saves snapshot on device and fetch/write in the background, so epoch
+    # boundaries don't stall on the full-state transfer (26-52 s measured at
+    # m30k scale on a tunneled chip). Drained in the finally below.
+    ckpt = AsyncCheckpointer()
 
     state = create_train_state(jax.random.key(cfg.train.seed), cfg)
     # Image features live on device for the whole run; per-step batches carry
@@ -64,10 +68,16 @@ def train_loop(
 
         train_img_table = build_img_table(list(train_examples),
                                           cfg.model.img_feat_dim)
+    # Compact batches (uint16 tokens + lengths, masks built on device by the
+    # train step) cut per-step feed bytes ~4x and host device_put calls ~2x;
+    # uint16 transport needs vocab ids < 65536 (all presets qualify).
+    compact = (cfg.model.src_vocab_size <= 65535
+               and cfg.model.tgt_vocab_size <= 65535)
     batcher = BucketBatcher(
         train_examples, cfg.data.batch_size, cfg.data.length_buckets,
         seed=cfg.data.shuffle_seed,
-        image_ids=use_table, img_dim=cfg.model.img_feat_dim)
+        image_ids=use_table, img_dim=cfg.model.img_feat_dim,
+        compact=compact)
 
     example_batch = next(iter(batcher.epoch(0)))
     step_fn, state_sh = make_train_step(cfg, mesh, state, example_batch,
@@ -120,8 +130,8 @@ def train_loop(
         if improved:
             best_bleu = bleu.bleu
             evals_since_best = 0
-            save_checkpoint(ckpt_dir, "best", state,
-                            {"epoch": epoch, "best_bleu": best_bleu})
+            ckpt.save(ckpt_dir, "best", state,
+                      {"epoch": epoch, "best_bleu": best_bleu})
         else:
             evals_since_best += 1
             if (evals_since_best % cfg.train.lr_decay_patience == 0
@@ -155,7 +165,8 @@ def train_loop(
     flops_by_shape: Dict = {}
 
     def step_flops(batch) -> int:
-        key = (batch["src"].shape, batch["tgt_in"].shape)
+        tgt = batch["tgt"] if "tgt" in batch else batch["tgt_in"]
+        key = (batch["src"].shape, tgt.shape)
         f = flops_by_shape.get(key)
         if f is None:
             (b, t), (_, tt) = key
@@ -221,10 +232,15 @@ def train_loop(
             # CURRENT epoch: resume is epoch-granular, so claiming epoch+1
             # would skip the unvisited remainder. Re-seeing some batches on
             # resume beats never seeing them.
-            save_checkpoint(ckpt_dir, "last", state,
-                            {"epoch": epoch if interrupted else epoch + 1,
-                             "best_bleu": best_bleu,
-                             "evals_since_best": evals_since_best})
+            # Routine epoch-boundary saves may be skipped while a previous
+            # save is still in flight (slow links self-tune); the FINAL save
+            # — stop or last epoch — always lands.
+            last_epoch = epoch == cfg.train.max_epochs - 1
+            ckpt.save(ckpt_dir, "last", state,
+                      {"epoch": epoch if interrupted else epoch + 1,
+                       "best_bleu": best_bleu,
+                       "evals_since_best": evals_since_best},
+                      skip_if_busy=not (stop or last_epoch))
             reset_timer()
             if stop:
                 break
@@ -237,6 +253,17 @@ def train_loop(
             flush_logs()
         except Exception:
             pass
+        # "last" must be durable before this function returns (resume
+        # correctness); also re-raises any background write error — unless
+        # an exception is already propagating, which must not be masked.
+        import sys
+        if sys.exc_info()[0] is None:
+            ckpt.wait()
+        else:
+            try:
+                ckpt.wait()
+            except Exception:
+                pass
 
     final.update({"steps": float(int(state.step)), "best_bleu": best_bleu})
     log.log("done", **final)

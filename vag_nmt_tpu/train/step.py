@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from vag_nmt_tpu.core.config import Config
+from vag_nmt_tpu.core.config import Config, EOS_ID, PAD_ID, SOS_ID
 from vag_nmt_tpu.models import loss_fn
 from vag_nmt_tpu.parallel.sharding import (
     batch_sharding,
@@ -29,6 +29,39 @@ from vag_nmt_tpu.utils.pytree import global_norm
 def _batch_shardings(mesh, batch_spec: Dict[str, Any]):
     sh = batch_sharding(mesh)
     return {k: sh for k in batch_spec}
+
+
+def expand_compact_batch(batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+    """Rebuild the classic batch keys ON DEVICE from a compact batch
+    (BucketBatcher(compact=True): uint16 tokens + int32 lengths). The host
+    then feeds ~4x fewer bytes per step and builds no masks; equivalence
+    with the classic keys is bit-tested in tests/test_data.py."""
+    src = batch["src"].astype(jnp.int32)
+    tgt = batch["tgt"].astype(jnp.int32)
+    B, Tt = tgt.shape
+    spos = jnp.arange(src.shape[1], dtype=jnp.int32)[None, :]
+    tpos = jnp.arange(Tt, dtype=jnp.int32)[None, :]
+    sl = batch["src_len"][:, None]
+    tl = batch["tgt_len"][:, None]
+    sample = batch["sample_mask"]
+    # tgt is zero-padded past tgt_len, so the shift-right inherits PAD tails;
+    # filler rows (sample_mask 0) get a masked-out SOS/EOS, matching the
+    # classic path's all-PAD rows in every loss term (tgt_mask is 0 there).
+    out = {
+        "src": src,
+        "src_mask": (spos < sl).astype(jnp.float32),
+        "tgt_in": jnp.concatenate(
+            [jnp.full((B, 1), SOS_ID, jnp.int32), tgt[:, :-1]], axis=1),
+        "tgt_out": jnp.where(tpos == tl, EOS_ID, tgt),
+        "tgt_mask": ((tpos <= tl).astype(jnp.float32)
+                     * sample[:, None]),
+        "sample_mask": sample,
+    }
+    if "img_ids" in batch:
+        out["img_ids"] = batch["img_ids"]
+    if "img" in batch:
+        out["img"] = batch["img"]
+    return out
 
 
 def make_train_step(
@@ -63,6 +96,8 @@ def make_train_step(
 
     def _step_body(state, batch, base_rng, img_table):
         rng = jax.random.fold_in(base_rng, state.step)
+        if "src_len" in batch:
+            batch = expand_compact_batch(batch)
         if with_img_table:
             batch = dict(batch)
             batch["img"] = jnp.take(img_table, batch.pop("img_ids"), axis=0)
