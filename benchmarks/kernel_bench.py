@@ -25,21 +25,33 @@ import jax.numpy as jnp
 import numpy as np
 
 
-REPS = 100   # ops per dispatch: the tunneled chip costs ~27 ms per dispatch
-             # round trip, so single-call timing measures the tunnel, not the
-             # kernel; chain REPS data-dependent ops inside ONE jit instead.
+REPS = 400       # fwd+bwd calls per dispatch (each ~200-700 us)
+REPS_FWD = 2000  # forward calls per dispatch (each ~20-100 us)
+# Chain data-dependent ops inside ONE jit (a dispatch round trip costs tens
+# of ms through the tunnel; fori_loop trip count is compile-free, so large
+# REPS costs only runtime). Timing is the REPS-DELTA with a FORCED result
+# fetch (np.asarray): `block_until_ready` does NOT actually block on the
+# tunneled axon platform (measured flat ~50 us for 1..400 chained ops).
+# MIN over iters for both endpoints: the tunnel adds one-sided jitter of up
+# to tens of ms per call (median-of-7 deltas still came out negative for
+# sub-100-us ops), and min is the standard interference-free statistic.
 
 
-def bench(fn, *args, warmup=2, iters=7):
+def bench_delta(make_fn, *args, warmup=1, iters=9, reps=None):
+    REPS = reps if reps is not None else globals()["REPS"]
+    fn_n, fn_2n = make_fn(REPS), make_fn(2 * REPS)
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
-    times = []
+        np.asarray(fn_n(*args))
+        np.asarray(fn_2n(*args))
+    t1s, t2s = [], []
     for _ in range(iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
-        times.append(time.perf_counter() - t0)
-    ts = sorted(times)
-    return ts[len(ts) // 2] / REPS, ts[0] / REPS
+        np.asarray(fn_n(*args))
+        t1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        np.asarray(fn_2n(*args))
+        t2s.append(time.perf_counter() - t0)
+    return (min(t2s) - min(t1s)) / REPS
 
 
 def main():
@@ -82,24 +94,29 @@ def main():
 
                 grad_all = jax.grad(loss, argnums=(0, 1, 2))
 
-                @jax.jit
-                def fwd(xx, m, a=p_f, b=p_b, im=impl):
-                    def body(i, carry):
-                        y = bidirectional_gru(a, b, carry, m, impl=im)[0]
-                        return carry * 0.5 + y[..., :E].astype(carry.dtype) * 0.01
-                    return jax.lax.fori_loop(0, REPS, body, xx)
+                def make_fwd(n, a=p_f, b=p_b, im=impl):
+                    @jax.jit
+                    def fwd(xx, m):
+                        def body(i, carry):
+                            y = bidirectional_gru(a, b, carry, m, impl=im)[0]
+                            return (carry * 0.5
+                                    + y[..., :E].astype(carry.dtype) * 0.01)
+                        return jax.lax.fori_loop(0, n, body, xx)
+                    return fwd
 
-                @jax.jit
-                def fwdbwd(xx, m, a=p_f, b=p_b, g=grad_all):
-                    def body(i, carry):
-                        dx, da, db = g(carry, a, b, m)
-                        leak = (jnp.sum(da["uh"]) + jnp.sum(db["uh"])) * 1e-12
-                        return (carry * 0.5 + dx.astype(carry.dtype) * 0.01
-                                + leak.astype(carry.dtype))
-                    return jax.lax.fori_loop(0, REPS, body, xx)
+                def make_fwdbwd(n, a=p_f, b=p_b, g=grad_all):
+                    @jax.jit
+                    def fwdbwd(xx, m):
+                        def body(i, carry):
+                            dx, da, db = g(carry, a, b, m)
+                            leak = (jnp.sum(da["uh"]) + jnp.sum(db["uh"])) * 1e-12
+                            return (carry * 0.5 + dx.astype(carry.dtype) * 0.01
+                                    + leak.astype(carry.dtype))
+                        return jax.lax.fori_loop(0, n, body, xx)
+                    return fwdbwd
                 try:
-                    t_f, _ = bench(fwd, x, mask)
-                    t_fb, _ = bench(fwdbwd, x, mask)
+                    t_f = bench_delta(make_fwd, x, mask, reps=REPS_FWD)
+                    t_fb = bench_delta(make_fwdbwd, x, mask)
                     err = ""
                 except Exception as e:  # compile failure is a RESULT here
                     t_f = t_fb = float("nan")

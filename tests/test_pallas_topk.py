@@ -19,7 +19,7 @@ def _mk(B, K, V, seed=0, finished_frac=0.0):
     return logits, scores, finished
 
 
-@pytest.mark.parametrize("impl", ["pallas", "pallas_rows"])
+@pytest.mark.parametrize("impl", ["pallas", "pallas_rows", "pallas_lanes"])
 @pytest.mark.parametrize("B,K,V,ff", [
     (8, 5, 1000, 0.0),
     (8, 5, 1000, 0.4),     # mixed finished rows

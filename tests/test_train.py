@@ -125,6 +125,26 @@ def test_async_checkpointer_matches_sync_and_survives_donation(toy_cfg,
     assert not tree_allclose(restored.params, jax.device_get(state2.params))
 
 
+def test_async_checkpointer_races_with_train_steps(toy_cfg, tmp_path):
+    """Regression: rapid saves interleaved with train steps. The worker
+    thread used to run the pack concatenations (device ops) itself, which
+    intermittently ABORTED the process when racing main-thread step
+    execution on the CPU runtime; the pack now happens on the caller's
+    thread and the worker only transfers + writes."""
+    from vag_nmt_tpu.train.checkpoint import AsyncCheckpointer
+
+    exs = make_toy_examples(16, seed=9, img_dim=toy_cfg.model.img_feat_dim)
+    state, _ = _run_steps(toy_cfg, exs, 1)
+    ck = AsyncCheckpointer()
+    for i in range(12):
+        ck.save(str(tmp_path), "last", state, {"epoch": i})
+        state, _ = _run_steps(toy_cfg, exs, 2, state=state)
+    ck.wait()
+    template = create_train_state(jax.random.key(toy_cfg.train.seed), toy_cfg)
+    restored, meta = load_checkpoint(str(tmp_path), "last", template)
+    assert meta["epoch"] == 11
+
+
 def test_dp_mesh_matches_single_device(toy_cfg):
     """8-virtual-device DP run is numerically ≡ the single-device run at equal
     global batch (SURVEY.md §4 'multi-node without hardware')."""

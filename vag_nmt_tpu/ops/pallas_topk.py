@@ -6,31 +6,30 @@ The beam inner loop needs, per step,
     cand[b, k, v] = scores[b,k] + logits[b,k,v] - lse[b,k]     (live beam)
                     scores[b,k] if v == pad_id else -inf       (finished beam)
 
-followed by top-K over each sentence's K*V candidate row. Two
+followed by top-K over each sentence's K*V candidate row. Four
 implementations with identical results (tests assert exact equality):
 
-- `impl="xla"` (DEFAULT): fused candidate computation + `lax.top_k` with an
-  optimization barrier between them. This is the production path.
-- `impl="pallas"`: one streaming pass over the raw logits with a running
-  per-sentence top-K in VMEM scratch across vocab blocks (grid =
-  (sentence_tiles, vocab_blocks), scratch carrying between j-steps — the
-  standard revisiting pattern); selection is K unrolled extract-max rounds
-  (Mosaic-friendly max + iota-min argmax). HBM traffic is one logits read.
-- `impl="pallas_rows"`: round-2 retuning per the round-1 diagnosis — 2-D
-  (tb*K, tv) row tiles (full sublane utilization; the 3-D layout pads K=5
-  sublanes to 8), per-row running top-K in the kernel, tiny (B, K*K)
-  cross-beam combine in XLA.
+- `impl="xla"`: fused candidate computation + `lax.top_k` with an
+  optimization barrier between them.
+- `impl="pallas"` (gen 1) and `impl="pallas_rows"` (gen 2): streaming
+  running-top-K kernels whose selection runs K cross-lane extract-max
+  reductions PER VOCAB BLOCK — measured 702 / 522 us vs XLA's 243 at the
+  decode shape with the round-1 timing harness. Kept as the record of the
+  tuning path.
+- `impl="pallas_lanes"` (gen 3, PRODUCTION DEFAULT on TPU for K <= 8): the
+  cross-lane reductions were the whole gap, so the hot loop has none —
+  every lane keeps its own running top-K via a branch-free insertion
+  cascade (element-wise max/min/select only), and the K extract-max rounds
+  over the (R, K*128) per-lane state run ONCE per row tile on the last
+  vocab block. Re-measured with the honest fetch-delta harness
+  (benchmarks/topk_bench.py; `block_until_ready` does not block on the
+  tunneled platform): XLA 142 -> lanes 111 us at B=128,K=5,V=8000;
+  136 -> 66 at B=64; 363 -> 208 at V=16384. The cascade is ~K^2, so K=12
+  loses (1334 vs 694) — `auto` selects by K, env `VAG_TOPK_IMPL` overrides.
 
-Measured dispatch-amortized at the decode shape (B=128, K=5, V=8000, 1×v5e,
-200 chained calls/dispatch): XLA 243 us, pallas 702 us, pallas_rows 522 us.
-The layout fix bought 26%, but this is a DOCUMENTED DEAD END against XLA's
-fused TopK: extract-max selection inherently rescans the candidate block K
-times (+ merge rounds), while XLA's TopK custom call runs a single-pass
-partial-selection network that Pallas has no primitive for. Both kernels
-stay exact-parity alternatives (`VAG_TOPK_IMPL=pallas|pallas_rows`), XLA
-stays the production default. Tie-breaking: smaller flat index within a
-vocab block, earlier blocks across blocks (matching top_k except a
-cross-beam/cross-block tie corner)."""
+Tie-breaking: smaller flat index within a vocab block, earlier blocks
+across blocks (matching top_k except a cross-beam/cross-block tie
+corner)."""
 
 from __future__ import annotations
 
@@ -188,6 +187,91 @@ def _kernel_rows(logits_ref, base_ref, fin_ref, vals_ref, idx_ref,
     idx_ref[...] = run_idx[...]
 
 
+def _kernel_lanes(logits_ref, base_ref, fin_ref, vals_ref, idx_ref,
+                  *scratch, V: int, tv: int, pad_id: int, K: int):
+    """Lane-parallel running top-K — third-generation layout.
+
+    The first two kernels lose to XLA because they run K cross-lane
+    extract-max reductions PER VOCAB BLOCK (each a multi-step tree over the
+    lane dim). Here the hot loop has NO cross-lane work at all: every lane
+    keeps its own running top-K of the candidates it has seen, maintained by
+    a branch-free insertion cascade (K max/min/select rounds per 128-lane
+    sub-tile, all element-wise). The only cross-lane reductions are K
+    extract-max rounds over the final (R, K*128) per-lane state, ONCE per
+    row tile on the last vocab block. Correctness: any global top-K element
+    is in its lane's top-K (at most K-1 greater values can share its lane).
+    Tie rule matches the other impls: smaller vocab index wins at equal
+    value (in-lane: stored-first insertion, i.e. earlier block; cross-lane:
+    min-index among value matches in the final merge)."""
+    j = pl.program_id(1)
+    nv = pl.num_programs(1)
+    run_vals = scratch[:K]                       # K refs of (R, 128) f32
+    run_idx = scratch[K:]                        # K refs of (R, 128) i32
+
+    @pl.when(j == 0)
+    def _():
+        for i in range(K):
+            run_vals[i][:] = jnp.full_like(run_vals[i], _FLOOR)
+            run_idx[i][:] = jnp.zeros_like(run_idx[i])
+
+    R = base_ref.shape[0]
+    base = base_ref[...]                         # (R, 1)
+    fin = fin_ref[...]                           # (R, 1)
+
+    vals = [run_vals[i][...] for i in range(K)]
+    idxs = [run_idx[i][...] for i in range(K)]
+    # Candidates are built PER 128-lane sub-tile, slicing the logits ref
+    # directly and broadcasting the (R,1) row terms afterwards — lane-slicing
+    # a broadcast/iota result crashes Mosaic's layout inference
+    # ("limits[i] <= dim(i)" check in array.h, observed on v5e).
+    for c in range(tv // 128):
+        xi = (j * tv + c * 128
+              + jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1))
+        live = logits_ref[:, c * 128:(c + 1) * 128] + base
+        froz = jnp.where(xi == pad_id, base, base + NEG_INF)
+        x = jnp.where(fin > 0, froz, live)
+        x = jnp.where(xi < V, x, _FLOOR)
+        # Insertion cascade: x sinks through the sorted-by-value slots.
+        # Strict > keeps the stored (earlier-index) entry above on ties.
+        for i in range(K):
+            gt = x > vals[i]
+            vals[i], x = jnp.maximum(vals[i], x), jnp.minimum(vals[i], x)
+            idxs[i], xi = (jnp.where(gt, xi, idxs[i]),
+                           jnp.where(gt, idxs[i], xi))
+    for i in range(K):
+        run_vals[i][:] = vals[i]
+        run_idx[i][:] = idxs[i]
+
+    @pl.when(j == nv - 1)
+    def _():
+        # Final cross-lane merge, slot-wise (no lane concatenation — Mosaic
+        # crashed on it): K extract-max rounds over the K (R,128) slot
+        # arrays; removal matches on (value, index) so duplicates of the
+        # extracted value elsewhere survive for later rounds.
+        sv = [run_vals[i][...] for i in range(K)]
+        si = [run_idx[i][...] for i in range(K)]
+        BIG = jnp.int32(2**30)
+        out_v = []
+        out_i = []
+        for _ in range(K):
+            m = sv[0].max(axis=1)
+            for i in range(1, K):
+                m = jnp.maximum(m, sv[i].max(axis=1))              # (R,)
+            a = jnp.min(jnp.where(sv[0] == m[:, None], si[0], BIG), axis=1)
+            for i in range(1, K):
+                a = jnp.minimum(
+                    a, jnp.min(jnp.where(sv[i] == m[:, None], si[i], BIG),
+                               axis=1))
+            a = a.astype(jnp.int32)
+            out_v.append(m)
+            out_i.append(a)
+            for i in range(K):
+                hit = (sv[i] == m[:, None]) & (si[i] == a[:, None])
+                sv[i] = jnp.where(hit, _FLOOR, sv[i])
+        vals_ref[...] = jnp.stack(out_v, axis=1)
+        idx_ref[...] = jnp.stack(out_i, axis=1)
+
+
 @functools.partial(jax.jit, static_argnames=("pad_id", "impl"))
 def beam_topk(
     logits: jnp.ndarray,      # (B, K, V) fp32 raw decoder logits
@@ -216,8 +300,13 @@ def beam_topk(
         import os
 
         impl = os.environ.get("VAG_TOPK_IMPL", "")
-        if impl not in ("xla", "pallas", "pallas_rows"):
-            impl = "xla"        # measured faster in-context; see module doc
+        if impl not in ("xla", "pallas", "pallas_rows", "pallas_lanes"):
+            # pallas_lanes beats XLA's fused TopK at small K (dispatch-
+            # amortized on 1xv5e: 111 vs 142 us at B=128,K=5,V=8000; 66 vs
+            # 136 at B=64; 208 vs 363 at V=16384) but its insertion cascade
+            # scales ~K^2 and loses by K=12 (1334 vs 694 us) — select by K.
+            impl = ("pallas_lanes"
+                    if jax.default_backend() == "tpu" and K <= 8 else "xla")
 
     if impl == "xla":
         # Bitwise-identical candidate formula to the kernel:
@@ -236,6 +325,39 @@ def beam_topk(
     tb = 16 if B % 16 == 0 else (8 if B % 8 == 0 else (4 if B % 4 == 0 else 1))
     tv = 512
     nv = -(-V // tv)
+    if impl == "pallas_lanes":
+        # Per-row top-K from the lane-parallel kernel; same trivial (B, K*K)
+        # cross-beam combine as pallas_rows.
+        rvals, ridx = pl.pallas_call(
+            functools.partial(_kernel_lanes, V=V, tv=tv, pad_id=pad_id, K=K),
+            grid=(B // tb, nv),
+            in_specs=[
+                pl.BlockSpec((tb * K, tv), lambda i, j: (i, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tb * K, 1), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tb * K, 1), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((tb * K, K), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tb * K, K), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((B * K, K), jnp.float32),
+                jax.ShapeDtypeStruct((B * K, K), jnp.int32),
+            ],
+            scratch_shapes=([pltpu.VMEM((tb * K, 128), jnp.float32)] * K
+                            + [pltpu.VMEM((tb * K, 128), jnp.int32)] * K),
+            interpret=_interpret(),
+        )(logits.reshape(B * K, V), base.reshape(B * K, 1),
+          finf.reshape(B * K, 1))
+        beam = jnp.arange(K, dtype=jnp.int32)[None, :, None]
+        flat = (ridx.reshape(B, K, K) + beam * V).reshape(B, K * K)
+        vals, pos = jax.lax.top_k(rvals.reshape(B, K * K), K)
+        return vals, jnp.take_along_axis(flat, pos, axis=1)
     if impl == "pallas_rows":
         # Kernel returns per-ROW top-K (R = B*K rows); the K*K -> K
         # per-sentence combine is a trivial (B, K*K) lax.top_k in XLA.

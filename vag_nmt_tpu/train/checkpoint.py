@@ -25,59 +25,75 @@ _META_FILE = "meta_{tag}.json"
 _FETCH_CHUNK_ELEMS = 1 << 26        # ~256 MB fp32 per transient buffer
 
 
-def _fetch_batched(tree):
-    """device->host fetch with leaves CONCATENATED on device per dtype and
-    transferred in a few large buffers. jax.device_get pulls leaf by leaf and
-    each transfer pays a fixed round-trip latency (~150 ms on a tunneled
-    chip; a full TrainState has dozens of leaves — measured 20 s per save
-    before this, ~11 s after). Concatenation is CHUNKED so the transient
-    device buffer stays bounded (~256 MB) instead of doubling the fp32 state
-    in HBM. Bit-exact: pure transport re-packing."""
+def _pack_device(tree):
+    """Phase 1 of the batched fetch (DEVICE ops — main thread only): ravel +
+    concatenate leaves per dtype into a few large flat buffers. Chunked so
+    the transient device buffer stays bounded (~256 MB) instead of doubling
+    the fp32 state in HBM. Returns (flat device arrays, per-chunk leaf
+    layout, treedef). Split from the transfer phase because dispatching
+    device ops from a second thread aborted the process (C++ `Aborted` in
+    the CPU runtime) when racing the main thread's train steps — the
+    background worker must only TRANSFER, never execute."""
     import numpy as np
 
     leaves, treedef = jax.tree_util.tree_flatten(tree)
     by_dtype: Dict[Any, list] = {}
     for pos, x in enumerate(leaves):
         by_dtype.setdefault(jax.numpy.asarray(x).dtype, []).append(pos)
-    out = [None] * len(leaves)
+    flats = []
+    layouts = []        # per flat buffer: list of (leaf_pos, shape, size)
+
+    def pack(chunk_positions):
+        if not chunk_positions:
+            return
+        flats.append(jax.numpy.concatenate(
+            [jax.numpy.ravel(leaves[p]) for p in chunk_positions]))
+        lay = []
+        for p in chunk_positions:
+            shape = jax.numpy.shape(leaves[p])
+            lay.append((p, shape, int(np.prod(shape)) if shape else 1))
+        layouts.append(lay)
+
     for dt, positions in by_dtype.items():
         chunk: list = []
         elems = 0
-
-        def flush(chunk_positions):
-            nonlocal out
-            if not chunk_positions:
-                return
-            flat = jax.numpy.concatenate(
-                [jax.numpy.ravel(leaves[p]) for p in chunk_positions])
-            host = np.asarray(flat)
-            off = 0
-            for p in chunk_positions:
-                shape = jax.numpy.shape(leaves[p])
-                size = int(np.prod(shape)) if shape else 1
-                out[p] = host[off: off + size].reshape(shape)
-                off += size
-
         for p in positions:
             sz = max(int(np.prod(jax.numpy.shape(leaves[p]) or (1,))), 1)
             if chunk and elems + sz > _FETCH_CHUNK_ELEMS:
-                flush(chunk)
+                pack(chunk)
                 chunk, elems = [], 0
             chunk.append(p)
             elems += sz
-        flush(chunk)
+        pack(chunk)
+    return flats, layouts, treedef, len(leaves)
+
+
+def _unpack_host(flats, layouts, treedef, n_leaves):
+    """Phase 2 (TRANSFER only — safe off-thread): fetch each flat buffer in
+    one device->host transfer and slice it back into leaf arrays. Each
+    jax.device_get of a separate leaf pays a fixed round-trip (~150 ms on a
+    tunneled chip; dozens of leaves = 20 s per save before batching)."""
+    import numpy as np
+
+    out = [None] * n_leaves
+    for flat, lay in zip(flats, layouts):
+        host = np.asarray(flat)
+        off = 0
+        for p, shape, size in lay:
+            out[p] = host[off: off + size].reshape(shape)
+            off += size
     return jax.tree_util.tree_unflatten(treedef, out)
 
 
-def save_checkpoint(ckpt_dir: str, tag: str, state: TrainState,
-                    meta: Optional[Dict[str, Any]] = None) -> None:
-    """State + meta are bundled in ONE msgpack file replaced atomically, so a
-    crash can never pair a new state with stale meta (a stale best_bleu would
-    let a worse model overwrite "best"; a stale epoch would re-run or skip an
-    epoch on resume). The JSON sidecar is a human-readable mirror only, also
-    written atomically; load ignores it when the bundle carries meta."""
+def _fetch_batched(tree):
+    """Batched device->host fetch, bit-exact transport re-packing."""
+    return _unpack_host(*_pack_device(tree))
+
+
+def _write_checkpoint(ckpt_dir: str, tag: str, state: TrainState,
+                      meta: Optional[Dict[str, Any]]) -> None:
+    """Serialize an already-fetched (host) state + meta to disk atomically."""
     os.makedirs(ckpt_dir, exist_ok=True)
-    state = _fetch_batched(state)
     meta = {"step": int(state.step), **(meta or {})}
     payload = serialization.to_bytes(state._asdict())
     bundle = serialization.msgpack_serialize(
@@ -91,6 +107,16 @@ def save_checkpoint(ckpt_dir: str, tag: str, state: TrainState,
     with open(meta_path + ".tmp", "w") as f:
         json.dump(meta, f)
     os.replace(meta_path + ".tmp", meta_path)
+
+
+def save_checkpoint(ckpt_dir: str, tag: str, state: TrainState,
+                    meta: Optional[Dict[str, Any]] = None) -> None:
+    """State + meta are bundled in ONE msgpack file replaced atomically, so a
+    crash can never pair a new state with stale meta (a stale best_bleu would
+    let a worse model overwrite "best"; a stale epoch would re-run or skip an
+    epoch on resume). The JSON sidecar is a human-readable mirror only, also
+    written atomically; load ignores it when the bundle carries meta."""
+    _write_checkpoint(ckpt_dir, tag, _fetch_batched(state), meta)
 
 
 class AsyncCheckpointer:
@@ -126,9 +152,19 @@ class AsyncCheckpointer:
         if skip_if_busy and self._fut is not None and not self._fut.done():
             return False
         self.wait()
+        # DEVICE work happens HERE, on the caller's thread: the snapshot
+        # copies and the per-dtype pack concatenations are async dispatches
+        # (cheap to enqueue). The worker thread only TRANSFERS the packed
+        # buffers and writes the file — dispatching device ops off-thread
+        # aborted the process when racing main-thread train steps.
         snap = jax.tree.map(
             lambda x: x.copy() if isinstance(x, jax.Array) else x, state)
-        self._fut = self._ex.submit(save_checkpoint, ckpt_dir, tag, snap, meta)
+        packed = _pack_device(snap)
+
+        def fetch_and_write():
+            _write_checkpoint(ckpt_dir, tag, _unpack_host(*packed), meta)
+
+        self._fut = self._ex.submit(fetch_and_write)
         return True
 
     def wait(self) -> None:
