@@ -50,6 +50,29 @@ def test_fused_greedy_matches_bucketed_path(setup):
     assert h1 == h2
 
 
+def test_nbest_first_entry_matches_best_and_scores_descend(setup):
+    cfg, params, examples, vocab = setup
+    best, _ = translate_corpus(params, cfg, examples, vocab, beam_size=3)
+    lists, st = translate_corpus(params, cfg, examples, vocab, beam_size=3,
+                                 nbest=3)
+    assert st["sentences"] == len(examples)
+    assert len(lists) == len(examples)
+    for i, cands in enumerate(lists):
+        assert 1 <= len(cands) <= 3
+        assert cands[0][0] == best[i]
+        scores = [s for _, s in cands]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_nbest_requires_beam_and_fused(setup):
+    cfg, params, examples, vocab = setup
+    with pytest.raises(ValueError, match="beam"):
+        translate_corpus(params, cfg, examples, vocab, beam_size=1, nbest=2)
+    with pytest.raises(ValueError, match="fused"):
+        translate_corpus(params, cfg, examples, vocab, beam_size=3, nbest=2,
+                         fused=False)
+
+
 def test_text_only_fused_matches_bucketed(setup):
     cfg, params, examples, vocab = setup
     cfg_txt = cfg.replace(model=dict(multimodal=False))

@@ -177,9 +177,16 @@ def cmd_translate(args) -> None:
     with maybe_trace(args.profile_dir):
         hyps, stats = translate_corpus(
             state.params, cfg, exs, tgt_vocab,
-            beam_size=args.beam if args.beam is not None else None)
+            beam_size=args.beam if args.beam is not None else None,
+            nbest=args.nbest)
     with open(args.output, "w", encoding="utf-8") as f:
-        f.write("\n".join(hyps) + "\n")
+        if args.nbest:
+            # Moses n-best list convention: "<sent-id> ||| <hyp> ||| <score>"
+            for i, cands in enumerate(hyps):
+                for text, score in cands:
+                    f.write(f"{i} ||| {text} ||| {score:.6f}\n")
+        else:
+            f.write("\n".join(hyps) + "\n")
     print(json.dumps(stats))
 
 
@@ -332,6 +339,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--split", default="test2016")
     p.add_argument("--output", required=True)
     p.add_argument("--beam", type=int, default=None)
+    p.add_argument("--nbest", type=int, default=0,
+                   help="write an n-best list (Moses '<id> ||| <hyp> ||| "
+                        "<score>' lines) instead of one line per sentence")
     p.add_argument("--profile-dir", default="",
                    help="write a jax.profiler trace of the decode here")
     p.set_defaults(fn=cmd_translate)

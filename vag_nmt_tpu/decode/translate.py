@@ -59,7 +59,7 @@ def make_decode_fn(cfg: Config, beam_size: int, max_len: int):
 
 @lru_cache(maxsize=64)
 def make_fused_corpus_fn(cfg: Config, beam_size: int, max_len: int,
-                         multimodal: bool, mesh=None):
+                         multimodal: bool, mesh=None, nbest: bool = False):
     """ONE jitted program decoding the ENTIRE corpus: lax.map over fixed-size
     chunks of a single padded (n_chunks, B, T_src) token array, image features
     gathered on-device from a resident table. One dispatch + one host fetch
@@ -101,6 +101,12 @@ def make_fused_corpus_fn(cfg: Config, beam_size: int, max_len: int,
                 res = beam_search(params, cfg.model, state,
                                   beam_size=beam_size, max_len=max_len,
                                   length_norm_alpha=cfg.decode.length_norm_alpha)
+                if nbest:
+                    # full (B, K, L) hypothesis set + normalized scores,
+                    # best-first (beam.py sorts by final score)
+                    return (res.tokens.astype(jnp.uint16),
+                            res.lengths.astype(jnp.int32),
+                            res.scores.astype(jnp.float32))
                 toks, lens = res.best_tokens, res.best_lengths
             # uint16 halves the device->host result bytes (tunnel-limited,
             # ~13 MB/s measured); BPE vocabs are always < 65536.
@@ -117,12 +123,15 @@ def make_fused_corpus_fn(cfg: Config, beam_size: int, max_len: int,
     rep = NamedSharding(mesh, P())
     row = NamedSharding(mesh, P(None, DATA_AXIS))          # (nb, B)
     row_t = NamedSharding(mesh, P(None, DATA_AXIS, None))  # (nb, B, T)
+    row_kt = NamedSharding(mesh, P(None, DATA_AXIS, None, None))
+    out_sh = ((row_kt, row_t, row_t) if nbest and beam_size > 1
+              else (row_t, row))
     # params: None = keep the caller's committed sharding — replicated params
     # stay replicated, and TP-trained (vocab-sharded) params decode with
     # GSPMD-inserted vocab collectives, no host round trip through a gather.
     return jax.jit(run,
                    in_shardings=(None, row_t, row, row, rep),
-                   out_shardings=(row_t, row))
+                   out_shardings=out_sh)
 
 
 def build_img_table(examples: Sequence[Example], img_dim: int,
@@ -139,7 +148,8 @@ def build_img_table(examples: Sequence[Example], img_dim: int,
 
 
 def _translate_fused(params, cfg, examples, tgt_vocab, beam_size, max_len,
-                     batch_size, de_bpe, img_table=None, mesh=None):
+                     batch_size, de_bpe, img_table=None, mesh=None,
+                     nbest: int = 0):
     from vag_nmt_tpu.data.batching import _bucket_for
 
     n = len(examples)
@@ -196,26 +206,36 @@ def _translate_fused(params, cfg, examples, tgt_vocab, beam_size, max_len,
     else:
         img_table = jnp.zeros((1, 1), jnp.float32)
 
-    run = make_fused_corpus_fn(cfg, beam_size, max_len, multimodal, mesh)
+    run = make_fused_corpus_fn(cfg, beam_size, max_len, multimodal, mesh,
+                               nbest=bool(nbest))
     t0 = time.perf_counter()
     # ONE dispatch for the whole corpus. (Splitting into two dispatches to
     # overlap the first half's result fetch with the second's compute was
     # measured SLOWER here — the extra dispatch round-trip outweighs the
     # ~40 ms fetch overlap.)
-    toks, lens = run(
+    out = run(
         params,
         jax.device_put(src.reshape(nb, B, t_src)),
         jax.device_put(lens_in.reshape(nb, B)),
         jax.device_put(ids.reshape(nb, B)),
         img_table,
     )
-    toks = np.asarray(jax.device_get(toks)).reshape(nb * B, -1)
-    lens = np.asarray(jax.device_get(lens)).reshape(nb * B)
+    if nbest:
+        toks, lens, scores = (np.asarray(jax.device_get(x)) for x in out)
+        K = toks.shape[2]
+        toks = toks.reshape(nb * B, K, -1)
+        lens = lens.reshape(nb * B, K)
+        scores = scores.reshape(nb * B, K)
+        chunk_steps = lens.reshape(nb, B, K).max(axis=(1, 2)) + 1
+    else:
+        toks, lens = out
+        toks = np.asarray(jax.device_get(toks)).reshape(nb * B, -1)
+        lens = np.asarray(jax.device_get(lens)).reshape(nb * B)
+        # Realized while_loop trip counts: each chunk decodes until its
+        # longest hypothesis finishes (+1 for the <eos>-emitting step).
+        # Feeds the MFU/roofline accounting in bench.py (core/flops.py).
+        chunk_steps = lens.reshape(nb, B).max(axis=1) + 1
     elapsed = time.perf_counter() - t0
-    # Realized while_loop trip counts: each chunk decodes until its longest
-    # hypothesis finishes (+1 for the <eos>-emitting step). Feeds the MFU /
-    # roofline accounting in bench.py (core/flops.py).
-    chunk_steps = lens.reshape(nb, B).max(axis=1) + 1
 
     # Vectorized detok: object-array vocab lookup + string-level de-BPE
     # (equivalent to bpe.remove_bpe on the unit list).
@@ -223,20 +243,30 @@ def _translate_fused(params, cfg, examples, tgt_vocab, beam_size, max_len,
     special = np.zeros(len(itos), bool)
     special[[0, 1, 2, 3]] = True
     special[1] = False                   # keep <unk> like Vocab.decode does
-    hyps: List[str] = [""] * n
-    for r, i in enumerate(order):
-        t = toks[r, : lens[r]].astype(np.int64)
+
+    def detok(row_toks, row_len):
+        t = row_toks[:row_len].astype(np.int64)
         t = t[~special[t]]
         s = " ".join(itos[t])
         if de_bpe:
             s = s.replace("@@ ", "")
             if s.endswith("@@"):
                 s = s[:-2]
-        hyps[i] = s
+        return s
+
     stats = {"sentences_per_sec": n / max(elapsed, 1e-9),
              "elapsed_s": elapsed, "sentences": n, "beam_size": beam_size,
              "beam_loop_steps": int(chunk_steps.sum()),
              "n_chunks": nb, "rows_per_chunk": B, "t_src": int(t_src)}
+    if nbest:
+        lists: List[List[Tuple[str, float]]] = [[] for _ in range(n)]
+        for r, i in enumerate(order):
+            lists[i] = [(detok(toks[r, k], lens[r, k]), float(scores[r, k]))
+                        for k in range(min(nbest, K))]
+        return lists, stats
+    hyps: List[str] = [""] * n
+    for r, i in enumerate(order):
+        hyps[i] = detok(toks[r], lens[r])
     return hyps, stats
 
 
@@ -253,7 +283,8 @@ def translate_corpus(
     fused: bool = True,
     img_table: Optional[jax.Array] = None,
     mesh=None,
-) -> Tuple[List[str], Dict[str, float]]:
+    nbest: int = 0,
+) -> Tuple[List, Dict[str, float]]:
     """Returns (hypothesis lines in EXAMPLE-LIST ORDER — hyps[i] translates
     examples[i] — plus stats incl. sentences/sec). Both the fused (default)
     and the bucketed (fused=False) path honor this contract.
@@ -265,11 +296,21 @@ def translate_corpus(
 
     mesh: optional jax.sharding.Mesh — shards each chunk's batch rows over
     the 'data' axis (fused path only; hypotheses are bit-identical to the
-    single-device run, tested on an 8-virtual-device CPU mesh)."""
+    single-device run, tested on an 8-virtual-device CPU mesh).
+
+    nbest: 0 (default) returns one best-hypothesis string per example;
+    nbest=N>0 returns, per example, a list of up to N (text, score) pairs,
+    best first, with length-normalized beam scores (requires beam_size > 1
+    and the fused path; N is capped at beam_size)."""
     beam_size = beam_size if beam_size is not None else cfg.decode.beam_size
     max_len = max_len if max_len is not None else cfg.decode.max_len
     batch_size = (batch_size if batch_size is not None
                   else cfg.decode.decode_batch_size)
+    if nbest:
+        if beam_size <= 1:
+            raise ValueError("nbest output requires beam_size > 1")
+        if not fused:
+            raise ValueError("nbest output requires the fused decode path")
 
     img_ok = (not cfg.model.multimodal
               or img_table is not None
@@ -281,7 +322,7 @@ def translate_corpus(
     if fused and examples:
         return _translate_fused(params, cfg, examples, tgt_vocab, beam_size,
                                 max_len, batch_size, de_bpe,
-                                img_table=img_table, mesh=mesh)
+                                img_table=img_table, mesh=mesh, nbest=nbest)
     if mesh is not None:
         raise ValueError("mesh-sharded decode requires the fused path")
 
