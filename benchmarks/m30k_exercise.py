@@ -34,7 +34,8 @@ def gen_raw(root: str) -> None:
     proj = np.random.RandomState(0).randn(len(types), 2048).astype(np.float32)
     os.makedirs(root, exist_ok=True)
     frng = np.random.RandomState(7)
-    for split, n in (("train", 29000), ("val", 1000), ("test2016", 1000)):
+    for split, n in (("train", 29000), ("val", 1000), ("test2016", 1000),
+                     ("test2017", 1000)):
         en, de, feats = [], [], np.zeros((n, 2048), np.float32)
         for i in range(n):
             L = max(4, min(24, int(rng.gauss(13, 4))))
@@ -63,25 +64,31 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/m30k_r2")
     ap.add_argument("--max-epochs", type=int, default=6)
+    ap.add_argument("--preset", default="m30k_ende_vag",
+                    help="m30k_ende_vag (config 2) or m30k_scaled (config 5:"
+                         " 2-layer 512d, retrieval on test2017)")
     args = ap.parse_args()
+    preset = args.preset
+    # BASELINE config 5 evaluates retrieval on test2017
+    retrieval_split = "test2017" if preset == "m30k_scaled" else "test2016"
     raw = os.path.join(args.out, "raw")
     prep = os.path.join(args.out, "prep")
     run = os.path.join(args.out, "run")
 
     gen_raw(raw)
     dt, _ = cli("preprocess", "--raw-dir", raw, "--out-dir", prep,
-                "--langs", "en,de", "--splits", "train,val,test2016",
+                "--langs", "en,de", "--splits", "train,val,test2016,test2017",
                 "--bpe-merges", "10000")
     print(json.dumps({"stage": "preprocess", "seconds": round(dt, 1)}),
           flush=True)
 
-    dt, _ = cli("train", "--preset", "m30k_ende_vag", "--data-dir", prep,
+    dt, _ = cli("train", "--preset", preset, "--data-dir", prep,
                 "--out-dir", run, "--max-epochs", str(args.max_epochs))
     print(json.dumps({"stage": "train", "epochs": args.max_epochs,
                       "seconds": round(dt, 1)}), flush=True)
 
     hyp = os.path.join(args.out, "hyp.txt")
-    dt, _ = cli("translate", "--preset", "m30k_ende_vag", "--data-dir", prep,
+    dt, _ = cli("translate", "--preset", preset, "--data-dir", prep,
                 "--checkpoint", run, "--tag", "best", "--split", "test2016",
                 "--output", hyp)
     print(json.dumps({"stage": "translate", "seconds": round(dt, 1)}),
@@ -102,8 +109,8 @@ def main() -> None:
     print(json.dumps({"stage": "score", "out": out.strip().splitlines()[0]}),
           flush=True)
 
-    _, out = cli("retrieval", "--preset", "m30k_ende_vag", "--data-dir", prep,
-                 "--checkpoint", run, "--tag", "best", "--split", "test2016",
+    _, out = cli("retrieval", "--preset", preset, "--data-dir", prep,
+                 "--checkpoint", run, "--tag", "best", "--split", retrieval_split,
                  capture=True)
     print(json.dumps({"stage": "retrieval",
                       "out": out.strip().splitlines()[-1]}), flush=True)

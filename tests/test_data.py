@@ -177,6 +177,29 @@ def test_compact_batches_expand_to_classic_keys():
     assert n == classic.num_batches()
 
 
+def test_compact_batch_no_target_rows_have_zero_loss_mask():
+    """tgt=None rows (decode-only) must produce all-zero tgt_mask after
+    expansion, exactly like the classic path — regression for the -1
+    tgt_len sentinel (tl=0 used to give them a live EOS position)."""
+    import jax.numpy as jnp
+
+    from vag_nmt_tpu.train.step import expand_compact_batch
+
+    exs = [Example(src=[5, 6, 7], tgt=None, index=0),
+           Example(src=[8, 9], tgt=[10, 11], index=1)]
+    kw = dict(batch_size=2, src_buckets=(8,))
+    classic = next(iter(BucketBatcher(exs, **kw).epoch(0, shuffle=False)))
+    cb = next(iter(BucketBatcher(exs, **kw, compact=True)
+                   .epoch(0, shuffle=False)))
+    assert cb["tgt_len"][0] == -1 and cb["tgt_len"][1] == 2
+    exp = {k: np.asarray(v) for k, v in
+           expand_compact_batch({k: jnp.asarray(v)
+                                 for k, v in cb.items()}).items()}
+    np.testing.assert_array_equal(exp["tgt_mask"], classic["tgt_mask"])
+    assert (exp["tgt_mask"][0] == 0).all()
+    assert exp["tgt_mask"][1].sum() == 3          # 2 tokens + EOS
+
+
 def test_compact_batches_reject_oversized_vocab():
     big = [Example(src=[70000], tgt=[5], index=0)]
     with pytest.raises(ValueError, match="65536"):

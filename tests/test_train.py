@@ -125,6 +125,28 @@ def test_async_checkpointer_matches_sync_and_survives_donation(toy_cfg,
     assert not tree_allclose(restored.params, jax.device_get(state2.params))
 
 
+def test_load_checkpoint_reads_legacy_format(toy_cfg, tmp_path):
+    """Pre-bundle checkpoints (raw serialized state + meta sidecar) must
+    keep loading — regression for the KeyError on upgrade."""
+    import json
+
+    from flax import serialization
+
+    from vag_nmt_tpu.train.checkpoint import _fetch_batched
+
+    state = create_train_state(jax.random.key(0), toy_cfg)
+    host = _fetch_batched(state)
+    with open(tmp_path / "state_last.msgpack", "wb") as f:
+        f.write(serialization.to_bytes(host._asdict()))
+    with open(tmp_path / "meta_last.json", "w") as f:
+        json.dump({"epoch": 4, "best_bleu": 12.5}, f)
+
+    template = create_train_state(jax.random.key(1), toy_cfg)
+    restored, meta = load_checkpoint(str(tmp_path), "last", template)
+    assert meta["epoch"] == 4 and meta["best_bleu"] == 12.5
+    assert tree_allclose(restored.params, jax.device_get(state.params))
+
+
 def test_async_checkpointer_races_with_train_steps(toy_cfg, tmp_path):
     """Regression: rapid saves interleaved with train steps. The worker
     thread used to run the pack concatenations (device ops) itself, which

@@ -64,6 +64,28 @@ def test_nbest_first_entry_matches_best_and_scores_descend(setup):
         assert scores == sorted(scores, reverse=True)
 
 
+def test_empty_corpus_returns_empty_even_with_mesh(setup):
+    from vag_nmt_tpu.parallel.sharding import make_mesh
+
+    cfg, params, _, vocab = setup
+    mesh = make_mesh(n_data=8, n_model=1)
+    hyps, st = translate_corpus(params, cfg, [], vocab, mesh=mesh)
+    assert hyps == [] and st["sentences"] == 0
+
+
+def test_beam_loop_steps_consistent_and_covers_all_beams(setup):
+    """beam_loop_steps is the realized trip count (max over ALL beams), so
+    the 1-best and n-best paths must agree on it and it must be >= the
+    longest best hypothesis."""
+    cfg, params, examples, vocab = setup
+    hyps, st1 = translate_corpus(params, cfg, examples, vocab, beam_size=3)
+    _, stn = translate_corpus(params, cfg, examples, vocab, beam_size=3,
+                              nbest=3)
+    assert st1["beam_loop_steps"] == stn["beam_loop_steps"]
+    longest_best = max(len(h.split()) for h in hyps)
+    assert st1["beam_loop_steps"] >= longest_best
+
+
 def test_nbest_requires_beam_and_fused(setup):
     cfg, params, examples, vocab = setup
     with pytest.raises(ValueError, match="beam"):

@@ -116,7 +116,9 @@ class BucketBatcher:
                     "src": np.full((n, bs), PAD_ID, np.uint16),
                     "src_len": np.zeros((n,), np.int32),
                     "tgt": np.full((n, bt), PAD_ID, np.uint16),
-                    "tgt_len": np.zeros((n,), np.int32),
+                    # -1 = row has NO target (classic path: all-zero tgt_mask)
+                    # vs 0 = empty target (classic: EOS at position 0 is live)
+                    "tgt_len": np.full((n,), -1, np.int32),
                     "sample_mask": np.ones((n,), np.float32),
                 }
                 if self.image_ids:
@@ -182,7 +184,7 @@ class BucketBatcher:
                 full = np.zeros((B,) + m.shape[1:], m.dtype)
                 if key in ("src", "tgt", "tgt_in", "tgt_out"):
                     full[:] = PAD_ID
-                elif key == "index":
+                elif key in ("index", "tgt_len"):
                     full[:] = -1
                 full[:n] = got
                 got = full

@@ -95,22 +95,30 @@ def make_fused_corpus_fn(cfg: Config, beam_size: int, max_len: int,
             if multimodal:
                 batch["img"] = jnp.take(img_table, chunk_ids, axis=0)
             state = prepare_decode(params, cfg.model, batch)
+            # `steps` is the chunk's REALIZED while_loop trip count — the
+            # loop runs until the LAST of the B*K hypotheses finishes, i.e.
+            # max over ALL beams of the emitted length (a beam's length at
+            # finish equals the number of iterations it took, and a
+            # never-finished beam reaches max_len in max_len trips). Feeds
+            # the MFU/roofline accounting in bench.py.
             if beam_size <= 1:
                 toks, lens = greedy_decode(params, cfg.model, state, max_len)
+                steps = jnp.max(lens).astype(jnp.int32)
             else:
                 res = beam_search(params, cfg.model, state,
                                   beam_size=beam_size, max_len=max_len,
                                   length_norm_alpha=cfg.decode.length_norm_alpha)
+                steps = jnp.max(res.lengths).astype(jnp.int32)
                 if nbest:
                     # full (B, K, L) hypothesis set + normalized scores,
                     # best-first (beam.py sorts by final score)
                     return (res.tokens.astype(jnp.uint16),
                             res.lengths.astype(jnp.int32),
-                            res.scores.astype(jnp.float32))
+                            res.scores.astype(jnp.float32), steps)
                 toks, lens = res.best_tokens, res.best_lengths
             # uint16 halves the device->host result bytes (tunnel-limited,
             # ~13 MB/s measured); BPE vocabs are always < 65536.
-            return toks.astype(jnp.uint16), lens.astype(jnp.int32)
+            return toks.astype(jnp.uint16), lens.astype(jnp.int32), steps
 
         return jax.lax.map(one, (src, src_lens, ids))
 
@@ -124,8 +132,9 @@ def make_fused_corpus_fn(cfg: Config, beam_size: int, max_len: int,
     row = NamedSharding(mesh, P(None, DATA_AXIS))          # (nb, B)
     row_t = NamedSharding(mesh, P(None, DATA_AXIS, None))  # (nb, B, T)
     row_kt = NamedSharding(mesh, P(None, DATA_AXIS, None, None))
-    out_sh = ((row_kt, row_t, row_t) if nbest and beam_size > 1
-              else (row_t, row))
+    chunk = NamedSharding(mesh, P(None))                   # (nb,) per-chunk
+    out_sh = ((row_kt, row_t, row_t, chunk) if nbest and beam_size > 1
+              else (row_t, row, chunk))
     # params: None = keep the caller's committed sharding — replicated params
     # stay replicated, and TP-trained (vocab-sharded) params decode with
     # GSPMD-inserted vocab collectives, no host round trip through a gather.
@@ -221,20 +230,17 @@ def _translate_fused(params, cfg, examples, tgt_vocab, beam_size, max_len,
         img_table,
     )
     if nbest:
-        toks, lens, scores = (np.asarray(jax.device_get(x)) for x in out)
+        toks, lens, scores, chunk_steps = (
+            np.asarray(jax.device_get(x)) for x in out)
         K = toks.shape[2]
         toks = toks.reshape(nb * B, K, -1)
         lens = lens.reshape(nb * B, K)
         scores = scores.reshape(nb * B, K)
-        chunk_steps = lens.reshape(nb, B, K).max(axis=(1, 2)) + 1
     else:
-        toks, lens = out
+        toks, lens, chunk_steps = out
         toks = np.asarray(jax.device_get(toks)).reshape(nb * B, -1)
         lens = np.asarray(jax.device_get(lens)).reshape(nb * B)
-        # Realized while_loop trip counts: each chunk decodes until its
-        # longest hypothesis finishes (+1 for the <eos>-emitting step).
-        # Feeds the MFU/roofline accounting in bench.py (core/flops.py).
-        chunk_steps = lens.reshape(nb, B).max(axis=1) + 1
+        chunk_steps = np.asarray(jax.device_get(chunk_steps))
     elapsed = time.perf_counter() - t0
 
     # Vectorized detok: object-array vocab lookup + string-level de-BPE
@@ -319,7 +325,12 @@ def translate_corpus(
         raise ValueError(
             "multimodal decode needs features: either every example carries "
             ".img or a device-resident img_table is passed")
-    if fused and examples:
+    if not examples:
+        # empty corpus: nothing to decode on any path (a mesh-sharded dev
+        # eval with no dev examples must not trip the fused-path guard)
+        return [], {"sentences_per_sec": 0.0, "elapsed_s": 0.0,
+                    "sentences": 0, "beam_size": beam_size}
+    if fused:
         return _translate_fused(params, cfg, examples, tgt_vocab, beam_size,
                                 max_len, batch_size, de_bpe,
                                 img_table=img_table, mesh=mesh, nbest=nbest)

@@ -70,9 +70,11 @@ def _interpret() -> bool:
 # The backward kernel's working set (uh + du blocks at H=512 plus the
 # double-buffered time streams) can exceed Mosaic's default 16 MB scoped-VMEM
 # budget at some (T, tile) combinations (measured: OOM by 248 KB at T=17,
-# tb=64 on v5e). Raising the scoped cap to 32 MB fixes scheduling with no
-# measured slowdown at flagship shapes.
-_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024)
+# tb=64 on v5e; the scaled preset's T=64, H=512 backward needs 36.2 MB and
+# crashed under a 32 MB cap). 64 MB fixes both with no measured slowdown at
+# flagship shapes (v5e VMEM is 128 MB; the cap only bounds the scoped
+# allocator, it does not reserve memory).
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
 
 
 def _gates(xg, hg, h):

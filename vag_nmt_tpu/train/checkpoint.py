@@ -175,13 +175,27 @@ class AsyncCheckpointer:
 
 def load_checkpoint(ckpt_dir: str, tag: str,
                     template: TrainState) -> Tuple[TrainState, Dict[str, Any]]:
-    """Restore into the structure of `template` (from create_train_state)."""
+    """Restore into the structure of `template` (from create_train_state).
+
+    Accepts both the current format (bundle: {state_bytes, meta_json}) and
+    the pre-bundle format (the serialized state dict itself + a meta JSON
+    sidecar), so checkpoints written before the atomic-bundle change keep
+    loading."""
     with open(os.path.join(ckpt_dir, _STATE_FILE.format(tag=tag)), "rb") as f:
         raw = f.read()
     bundle = serialization.msgpack_restore(raw)
-    meta = json.loads(bundle["meta_json"])
-    restored = serialization.from_bytes(template._asdict(),
-                                        bytes(bundle["state_bytes"]))
+    if isinstance(bundle, dict) and "meta_json" in bundle:
+        meta = json.loads(bundle["meta_json"])
+        restored = serialization.from_bytes(template._asdict(),
+                                            bytes(bundle["state_bytes"]))
+        return TrainState(**restored), meta
+    # legacy layout: the file IS the state; meta lives in the sidecar
+    restored = serialization.from_bytes(template._asdict(), raw)
+    meta_path = os.path.join(ckpt_dir, _META_FILE.format(tag=tag))
+    meta: Dict[str, Any] = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
     return TrainState(**restored), meta
 
 

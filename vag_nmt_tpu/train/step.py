@@ -53,7 +53,10 @@ def expand_compact_batch(batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray
         "tgt_in": jnp.concatenate(
             [jnp.full((B, 1), SOS_ID, jnp.int32), tgt[:, :-1]], axis=1),
         "tgt_out": jnp.where(tpos == tl, EOS_ID, tgt),
-        "tgt_mask": ((tpos <= tl).astype(jnp.float32)
+        # tgt_len == -1 marks a row with NO target (matches the classic
+        # path's all-zero tgt_mask there; tl=0 is a real empty target whose
+        # EOS position stays live).
+        "tgt_mask": (((tpos <= tl) & (tl >= 0)).astype(jnp.float32)
                      * sample[:, None]),
         "sample_mask": sample,
     }
