@@ -239,6 +239,96 @@ def test_compact_train_step_matches_classic(tmp_path):
         np.testing.assert_allclose(x, y, rtol=1e-6, atol=1e-7)
 
 
+def test_pack_unpack_roundtrip_inside_jit():
+    import jax
+    import jax.numpy as jnp
+
+    from vag_nmt_tpu.data.packing import pack_batch, unpack_batch
+
+    exs = _examples(21, seed=8)
+    b = BucketBatcher(exs, batch_size=8, src_buckets=(8, 16), compact=True)
+    for batch in b.epoch_stacked(0, 3):
+        buf, spec = pack_batch(batch)
+        assert buf.dtype == np.uint8
+
+        @jax.jit
+        def rt(x, spec=spec):
+            return unpack_batch(x, spec)
+
+        out = rt(buf)
+        assert sorted(out) == sorted(batch)
+        for k in batch:
+            got = np.asarray(out[k])
+            assert got.dtype == batch[k].dtype, k
+            np.testing.assert_array_equal(got, batch[k])
+
+
+def test_packed_step_matches_classic_step():
+    """make_packed_step (single + multi) is numerically identical to the
+    per-leaf-fed step fns."""
+    import jax
+
+    from vag_nmt_tpu.core.config import preset
+    from vag_nmt_tpu.data.packing import pack_batch
+    from vag_nmt_tpu.train.state import create_train_state
+    from vag_nmt_tpu.train.step import (
+        make_multi_step,
+        make_packed_step,
+        make_train_step,
+    )
+
+    cfg = preset("toy").replace(model=dict(multimodal=False))
+    exs = _examples(48, seed=9)
+    b = BucketBatcher(exs, batch_size=8, src_buckets=(8, 16), compact=True)
+    by_shape = {}
+    for bb in b.epoch(0, shuffle=False):
+        by_shape.setdefault(bb["src"].shape + bb["tgt"].shape, []).append(bb)
+    batches = next(v for v in by_shape.values() if len(v) >= 2)[:2]
+    stack = {k: np.stack([bb[k] for bb in batches]) for k in batches[0]}
+    rng = jax.random.key(3)
+
+    s1 = create_train_state(jax.random.key(0), cfg)
+    step_fn, _ = make_train_step(cfg)
+    for bb in batches:
+        s1, _ = step_fn(s1, bb, rng)
+
+    s2 = create_train_state(jax.random.key(0), cfg)
+    pm = make_packed_step(cfg, multi=True)
+    buf, spec = pack_batch(stack)
+    s2, aux = pm(s2, buf, rng, spec=spec)
+
+    s3 = create_train_state(jax.random.key(0), cfg)
+    ps = make_packed_step(cfg, multi=False)
+    for bb in batches:
+        bu, sp = pack_batch(bb)
+        s3, _ = ps(s3, bu, rng, spec=sp)
+
+    for a, b2, c in zip(jax.tree.leaves(jax.device_get(s1.params)),
+                        jax.tree.leaves(jax.device_get(s2.params)),
+                        jax.tree.leaves(jax.device_get(s3.params))):
+        np.testing.assert_allclose(a, b2, rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(a, c, rtol=1e-6, atol=1e-7)
+
+
+def test_epoch_stacked_covers_every_example_once():
+    """K-deep stacking must visit each example exactly once per epoch and
+    produce only same-shape stacks (+ leftover singles)."""
+    exs = _examples(57, seed=6)
+    b = BucketBatcher(exs, batch_size=8, src_buckets=(8, 16), compact=True)
+    n_rows = 0
+    for batch in b.epoch_stacked(0, 4):
+        if batch["src"].ndim == 3:
+            assert batch["src"].shape[0] == 4
+            n_rows += int(batch["sample_mask"].sum())
+        else:
+            n_rows += int(batch["sample_mask"].sum())
+    assert n_rows == 57
+    # k=1 must be the plain epoch
+    plain = [x["src"].tobytes() for x in b.epoch(0)]
+    k1 = [x["src"].tobytes() for x in b.epoch_stacked(0, 1)]
+    assert plain == k1
+
+
 def test_batcher_includes_images_when_asked():
     exs = _examples(5, with_img=True, img_dim=8)
     b = BucketBatcher(exs, batch_size=4, src_buckets=(16,),

@@ -125,6 +125,75 @@ def test_async_checkpointer_matches_sync_and_survives_donation(toy_cfg,
     assert not tree_allclose(restored.params, jax.device_get(state2.params))
 
 
+def test_multi_step_dispatch_matches_sequential_single_steps(toy_cfg):
+    """lax.scan'ed K-step dispatch is numerically EXACTLY K sequential
+    single-step calls (same RNG folding, same update math)."""
+    import numpy as np
+
+    from vag_nmt_tpu.train.step import make_multi_step
+
+    cfg = toy_cfg
+    exs = make_toy_examples(64, seed=11, img_dim=cfg.model.img_feat_dim)
+    batcher = BucketBatcher(exs, cfg.data.batch_size, cfg.data.length_buckets,
+                            seed=3, include_image=cfg.model.multimodal,
+                            img_dim=cfg.model.img_feat_dim, compact=False)
+    by_shape = {}
+    for b in batcher.epoch(0, shuffle=False):
+        by_shape.setdefault(b["src"].shape + b["tgt_in"].shape, []).append(b)
+    chunk = next(v for v in by_shape.values() if len(v) >= 3)[:3]
+    stack = {k: np.stack([b[k] for b in chunk]) for k in chunk[0]}
+    rng = jax.random.key(9)
+
+    state_a = create_train_state(jax.random.key(0), cfg)
+    step_fn, _ = make_train_step(cfg)
+    auxes = []
+    for b in chunk:
+        state_a, aux = step_fn(state_a, b, rng)
+        auxes.append(float(aux["loss"]))
+
+    state_b = create_train_state(jax.random.key(0), cfg)
+    multi_fn, _ = make_multi_step(cfg)
+    state_b, aux_stack = multi_fn(state_b, stack, rng)
+    np.testing.assert_allclose(
+        np.asarray(aux_stack["loss"]), auxes, rtol=1e-6, atol=1e-7)
+    for x, y in zip(jax.tree.leaves(jax.device_get(state_a.params)),
+                    jax.tree.leaves(jax.device_get(state_b.params))):
+        np.testing.assert_allclose(x, y, rtol=1e-6, atol=1e-7)
+    assert int(state_b.step) == 3
+
+
+def test_multi_step_dp_mesh_matches_single_device(toy_cfg):
+    """K-step dispatch under an 8-device DP mesh ≡ single-device K-step."""
+    import numpy as np
+
+    from vag_nmt_tpu.train.step import make_multi_step
+
+    cfg = toy_cfg
+    exs = make_toy_examples(64, seed=12, img_dim=cfg.model.img_feat_dim)
+    batcher = BucketBatcher(exs, cfg.data.batch_size, cfg.data.length_buckets,
+                            seed=3, include_image=cfg.model.multimodal,
+                            img_dim=cfg.model.img_feat_dim)
+    by_shape = {}
+    for b in batcher.epoch(0, shuffle=False):
+        by_shape.setdefault(b["src"].shape + b["tgt_in"].shape, []).append(b)
+    chunk = next(v for v in by_shape.values() if len(v) >= 2)[:2]
+    stack = {k: np.stack([b[k] for b in chunk]) for k in chunk[0]}
+    rng = jax.random.key(9)
+
+    state_1 = create_train_state(jax.random.key(0), cfg)
+    fn_1, _ = make_multi_step(cfg)
+    state_1, _ = fn_1(state_1, stack, rng)
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    state_8 = create_train_state(jax.random.key(0), cfg)
+    fn_8, st_sh = make_multi_step(cfg, mesh, state_8, stack)
+    state_8 = jax.device_put(state_8, st_sh)
+    state_8, _ = fn_8(state_8, stack, rng)
+    for x, y in zip(jax.tree.leaves(jax.device_get(state_1.params)),
+                    jax.tree.leaves(jax.device_get(state_8.params))):
+        np.testing.assert_allclose(x, y, rtol=2e-3, atol=2e-4)
+
+
 def test_load_checkpoint_reads_legacy_format(toy_cfg, tmp_path):
     """Pre-bundle checkpoints (raw serialized state + meta sidecar) must
     keep loading — regression for the KeyError on upgrade."""

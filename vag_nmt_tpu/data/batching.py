@@ -208,6 +208,36 @@ class BucketBatcher:
         for (bs, bt), chunk in order:
             yield self._make_batch(chunk, bs, bt)
 
+    def epoch_stacked(self, epoch: int, k: int,
+                      shuffle: bool = True) -> Iterator[Batch]:
+        """Epoch batches grouped into k-deep SAME-SHAPE stacks (every leaf
+        gains a leading k axis) for the multi-step train dispatcher, plus
+        leftover single batches; emission order is shuffled with a
+        deterministic per-epoch seed. k=1 degrades to epoch()."""
+        if k <= 1:
+            yield from self.epoch(epoch, shuffle)
+            return
+        pending: Dict[Tuple, List[Batch]] = {}
+        items: List[List[Batch]] = []
+        for b in self.epoch(epoch, shuffle):
+            tgt = b["tgt"] if "tgt" in b else b["tgt_in"]
+            key = b["src"].shape + tgt.shape
+            pending.setdefault(key, []).append(b)
+            if len(pending[key]) == k:
+                items.append(pending.pop(key))
+        for rest in pending.values():
+            items.extend([b] for b in rest)
+        rng = np.random.RandomState(
+            (self.seed * 7919 + epoch + 1) & 0x7FFFFFFF)
+        order = rng.permutation(len(items)) if shuffle else range(len(items))
+        for idx in order:
+            chunk = items[idx]
+            if len(chunk) == 1:
+                yield chunk[0]
+            else:
+                yield {kk: np.stack([b[kk] for b in chunk])
+                       for kk in chunk[0]}
+
     def num_batches(self) -> int:
         groups = self._assign()
         return sum(-(-len(v) // self.batch_size) for v in groups.values())

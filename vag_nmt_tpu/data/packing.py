@@ -1,0 +1,54 @@
+"""One-buffer batch transport: pack a batch pytree into a single flat
+uint8 array on the host, unpack on device INSIDE the jitted step.
+
+Why: on links where each host->device transfer pays a large fixed latency
+(measured ~10 ms per array on a tunneled v5e — a 6-leaf compact batch cost
+~15 ms/step in completion terms against 1.9 ms of device compute), the
+per-step feed must be ONE transfer. Packing is a host-side byte concat;
+unpacking is free-at-runtime slicing + bitcasts that XLA fuses into the
+step. The unpack spec (keys, dtypes, shapes) is a static jit argument, so
+two different batch layouts that happen to share a byte length can never be
+mis-decoded (each spec compiles its own program, exactly like shaped
+batches already do)."""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Spec = Tuple[Tuple[str, str, Tuple[int, ...]], ...]
+
+
+def pack_batch(batch: Dict[str, np.ndarray]) -> Tuple[np.ndarray, Spec]:
+    """Host side: flatten every leaf to bytes, concatenate in sorted-key
+    order. Returns (uint8 1-D array, static spec for unpack_batch)."""
+    keys = sorted(batch)
+    parts = []
+    spec = []
+    for k in keys:
+        a = np.ascontiguousarray(batch[k])
+        parts.append(a.view(np.uint8).reshape(-1))
+        spec.append((k, a.dtype.str, tuple(a.shape)))
+    return np.concatenate(parts), tuple(spec)
+
+
+def unpack_batch(buf: jnp.ndarray, spec: Spec) -> Dict[str, jnp.ndarray]:
+    """Device side (inside jit): static slices + bitcasts back to leaves.
+    Byte order matches the host's little-endian numpy views (TPU and x86
+    agree)."""
+    out: Dict[str, jnp.ndarray] = {}
+    off = 0
+    for key, dt_str, shape in spec:
+        dt = np.dtype(dt_str)
+        n = int(np.prod(shape, dtype=np.int64)) * dt.itemsize if shape else \
+            dt.itemsize
+        seg = jax.lax.slice(buf, (off,), (off + n,))
+        if dt.itemsize > 1:
+            seg = jax.lax.bitcast_convert_type(
+                seg.reshape(-1, dt.itemsize), jnp.dtype(dt))
+        out[key] = seg.reshape(shape)
+        off += n
+    return out

@@ -23,9 +23,12 @@ def device_prefetch(
     def put(batch):
         # ONE device_put for the whole pytree: each separate call pays fixed
         # host-side dispatch overhead (~0.1 ms measured), so per-key puts
-        # cost ~1 ms/batch at 9 keys.
-        if sharding is not None:
-            return jax.device_put(batch, sharding)
+        # cost ~1 ms/batch at 9 keys. `sharding` may be a callable
+        # batch -> sharding for iterators that mix batch kinds (e.g. K-step
+        # stacks and single batches in the train loop).
+        s = sharding(batch) if callable(sharding) else sharding
+        if s is not None:
+            return jax.device_put(batch, s)
         return jax.device_put(batch)
 
     for batch in it:

@@ -52,6 +52,12 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+def stacked_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """For K-step stacked batches (leading dim = K scan steps): the SECOND
+    dim is the batch, sharded over 'data'; the step dim stays unsharded."""
+    return NamedSharding(mesh, P(None, DATA_AXIS))
+
+
 # Param-path regex -> PartitionSpec factory. Paths are '/'-joined dict keys,
 # e.g. 'encoder/embed/table', 'decoder/readout/w_out'. Vocab-dim sharding over
 # 'model' covers the big tables; everything else is replicated (tiny).
