@@ -396,8 +396,28 @@ def build_parser() -> argparse.ArgumentParser:
     return ap
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache for every CLI invocation: each
+    distinct batch/decode shape is one program, stable across runs, and a
+    cold compile costs 20-150 s on a tunneled chip (seconds locally) —
+    without the cache every `translate`/`train` process pays it all again.
+    Override the location with VAG_JAX_CACHE_DIR; set it empty to disable."""
+    loc = os.environ.get("VAG_JAX_CACHE_DIR",
+                         os.path.expanduser("~/.cache/vag_nmt_tpu/jax"))
+    if not loc:
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", loc)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass    # never let cache setup break the CLI
+
+
 def main(argv: Optional[List[str]] = None) -> None:
     args = build_parser().parse_args(argv)
+    _enable_compile_cache()
     args.fn(args)
 
 
