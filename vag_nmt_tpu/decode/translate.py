@@ -59,17 +59,25 @@ def make_decode_fn(cfg: Config, beam_size: int, max_len: int):
 
 @lru_cache(maxsize=64)
 def make_fused_corpus_fn(cfg: Config, beam_size: int, max_len: int,
-                         multimodal: bool, mesh=None, nbest: bool = False):
+                         multimodal: bool, mesh=None, nbest: bool = False,
+                         superchunk: int = 1):
     """ONE jitted program decoding the ENTIRE corpus: lax.map over fixed-size
-    chunks of a single padded (n_chunks, B, T_src) token array, image features
-    gathered on-device from a resident table. One dispatch + one host fetch
-    per corpus — per-call dispatch latency (~30ms on a tunneled chip) and
-    per-bucket recompiles disappear from the decode path.
+    chunks of a single padded (n_super, S, B, T_src) token array, image
+    features gathered on-device from a resident table. One dispatch + one
+    host fetch per corpus — per-call dispatch latency (~30ms on a tunneled
+    chip) and per-bucket recompiles disappear from the decode path.
+
+    superchunk = S: each outer map iteration ENCODES S decode-chunks at once
+    (S*B rows in one encoder pass — measured ~25-30% of corpus decode time
+    was 16-32 small per-chunk encoder invocations whose matmuls underfill
+    the MXU) and then runs the S beam while_loops over slices of the shared
+    encoded state. Per-row numerics are batch-size invariant, so hypotheses
+    are identical for any S (tested).
 
     With a mesh, each chunk's batch rows are sharded over the 'data' axis
     (params + feature table replicated): sentences decode independently, so
     DP needs no collectives beyond the while_loop's all-finished reduction —
-    GSPMD inserts that. The chunk axis stays unsharded (lax.map is
+    GSPMD inserts that. The chunk axes stay unsharded (lax.map is
     sequential by construction)."""
     def run(params, src, src_lens, ids, img_table):
         # Under a mesh the encoder's Pallas GRU kernel is shard_map'ed over
@@ -80,47 +88,55 @@ def make_fused_corpus_fn(cfg: Config, beam_size: int, max_len: int,
         with shard_mesh(mesh):
             return _run_body(params, src, src_lens, ids, img_table)
 
+    def _beam_one(params, state):
+        # `steps` is the chunk's REALIZED while_loop trip count — the
+        # loop runs until the LAST of the B*K hypotheses finishes, i.e.
+        # max over ALL beams of the emitted length (a beam's length at
+        # finish equals the number of iterations it took, and a
+        # never-finished beam reaches max_len in max_len trips). Feeds
+        # the MFU/roofline accounting in bench.py.
+        if beam_size <= 1:
+            toks, lens = greedy_decode(params, cfg.model, state, max_len)
+            steps = jnp.max(lens).astype(jnp.int32)
+        else:
+            res = beam_search(params, cfg.model, state,
+                              beam_size=beam_size, max_len=max_len,
+                              length_norm_alpha=cfg.decode.length_norm_alpha)
+            steps = jnp.max(res.lengths).astype(jnp.int32)
+            if nbest:
+                # full (B, K, L) hypothesis set + normalized scores,
+                # best-first (beam.py sorts by final score)
+                return (res.tokens.astype(jnp.uint16),
+                        res.lengths.astype(jnp.int32),
+                        res.scores.astype(jnp.float32), steps)
+            toks, lens = res.best_tokens, res.best_lengths
+        # uint16 halves the device->host result bytes (tunnel-limited,
+        # ~13 MB/s measured); BPE vocabs are always < 65536.
+        return toks.astype(jnp.uint16), lens.astype(jnp.int32), steps
+
     def _run_body(params, src, src_lens, ids, img_table):
         if cfg.model.compute_dtype == "bfloat16":
             params = cast_floats(params, jnp.bfloat16)
 
-        def one(args):
-            s16, lens, chunk_ids = args
-            # src travels uint16 (half the upload bytes on the slow link)
-            # and the pad mask is built on device from per-row lengths.
-            s = s16.astype(jnp.int32)
-            m = (jnp.arange(s.shape[1])[None, :]
-                 < lens[:, None]).astype(jnp.float32)
+        def super_one(args):
+            s16, lens, chunk_ids = args          # (S, B, T), (S, B), (S, B)
+            S, B, T = s16.shape
+            # ONE encoder pass over all S*B rows; src travels uint16 (half
+            # the upload bytes) and the pad mask is built on device.
+            s = s16.reshape(S * B, T).astype(jnp.int32)
+            m = (jnp.arange(T)[None, :]
+                 < lens.reshape(S * B)[:, None]).astype(jnp.float32)
             batch = {"src": s, "src_mask": m}
             if multimodal:
-                batch["img"] = jnp.take(img_table, chunk_ids, axis=0)
+                batch["img"] = jnp.take(img_table, chunk_ids.reshape(-1),
+                                        axis=0)
             state = prepare_decode(params, cfg.model, batch)
-            # `steps` is the chunk's REALIZED while_loop trip count — the
-            # loop runs until the LAST of the B*K hypotheses finishes, i.e.
-            # max over ALL beams of the emitted length (a beam's length at
-            # finish equals the number of iterations it took, and a
-            # never-finished beam reaches max_len in max_len trips). Feeds
-            # the MFU/roofline accounting in bench.py.
-            if beam_size <= 1:
-                toks, lens = greedy_decode(params, cfg.model, state, max_len)
-                steps = jnp.max(lens).astype(jnp.int32)
-            else:
-                res = beam_search(params, cfg.model, state,
-                                  beam_size=beam_size, max_len=max_len,
-                                  length_norm_alpha=cfg.decode.length_norm_alpha)
-                steps = jnp.max(res.lengths).astype(jnp.int32)
-                if nbest:
-                    # full (B, K, L) hypothesis set + normalized scores,
-                    # best-first (beam.py sorts by final score)
-                    return (res.tokens.astype(jnp.uint16),
-                            res.lengths.astype(jnp.int32),
-                            res.scores.astype(jnp.float32), steps)
-                toks, lens = res.best_tokens, res.best_lengths
-            # uint16 halves the device->host result bytes (tunnel-limited,
-            # ~13 MB/s measured); BPE vocabs are always < 65536.
-            return toks.astype(jnp.uint16), lens.astype(jnp.int32), steps
+            state_chunks = jax.tree.map(
+                lambda a: a.reshape((S, B) + a.shape[1:]), state)
+            return jax.lax.map(lambda st: _beam_one(params, st),
+                               state_chunks)
 
-        return jax.lax.map(one, (src, src_lens, ids))
+        return jax.lax.map(super_one, (src, src_lens, ids))
 
     if mesh is None:
         return jax.jit(run)
@@ -129,10 +145,10 @@ def make_fused_corpus_fn(cfg: Config, beam_size: int, max_len: int,
     from vag_nmt_tpu.parallel.sharding import DATA_AXIS
 
     rep = NamedSharding(mesh, P())
-    row = NamedSharding(mesh, P(None, DATA_AXIS))          # (nb, B)
-    row_t = NamedSharding(mesh, P(None, DATA_AXIS, None))  # (nb, B, T)
-    row_kt = NamedSharding(mesh, P(None, DATA_AXIS, None, None))
-    chunk = NamedSharding(mesh, P(None))                   # (nb,) per-chunk
+    row = NamedSharding(mesh, P(None, None, DATA_AXIS))  # (ns, S, B)
+    row_t = NamedSharding(mesh, P(None, None, DATA_AXIS, None))
+    row_kt = NamedSharding(mesh, P(None, None, DATA_AXIS, None, None))
+    chunk = NamedSharding(mesh, P(None, None))           # (ns, S) per-chunk
     out_sh = ((row_kt, row_t, row_t, chunk) if nbest and beam_size > 1
               else (row_t, row, chunk))
     # params: None = keep the caller's committed sharding — replicated params
@@ -170,6 +186,13 @@ def _translate_fused(params, cfg, examples, tgt_vocab, beam_size, max_len,
             # replicas of the last real sentence anyway)
             B += n_data - B % n_data
     nb = -(-n // B)
+    # Super-chunking: encode S decode-chunks (~1024 rows) per encoder pass;
+    # pad the chunk count so every outer map step carries exactly S chunks
+    # (filler chunks replicate the last real row and are decoded+discarded —
+    # bounded waste, only on small corpora).
+    S = min(max(1, 1024 // B), nb) if nb else 1
+    ns = -(-nb // S) if nb else 0
+    nb = ns * S
     t_src = _bucket_for(max(len(ex.src) for ex in examples),
                         cfg.data.length_buckets)
     multimodal = cfg.model.multimodal
@@ -216,7 +239,7 @@ def _translate_fused(params, cfg, examples, tgt_vocab, beam_size, max_len,
         img_table = jnp.zeros((1, 1), jnp.float32)
 
     run = make_fused_corpus_fn(cfg, beam_size, max_len, multimodal, mesh,
-                               nbest=bool(nbest))
+                               nbest=bool(nbest), superchunk=S)
     t0 = time.perf_counter()
     # ONE dispatch for the whole corpus. (Splitting into two dispatches to
     # overlap the first half's result fetch with the second's compute was
@@ -224,15 +247,15 @@ def _translate_fused(params, cfg, examples, tgt_vocab, beam_size, max_len,
     # ~40 ms fetch overlap.)
     out = run(
         params,
-        jax.device_put(src.reshape(nb, B, t_src)),
-        jax.device_put(lens_in.reshape(nb, B)),
-        jax.device_put(ids.reshape(nb, B)),
+        jax.device_put(src.reshape(ns, S, B, t_src)),
+        jax.device_put(lens_in.reshape(ns, S, B)),
+        jax.device_put(ids.reshape(ns, S, B)),
         img_table,
     )
     if nbest:
         toks, lens, scores, chunk_steps = (
             np.asarray(jax.device_get(x)) for x in out)
-        K = toks.shape[2]
+        K = toks.shape[3]          # (ns, S, B, K, L)
         toks = toks.reshape(nb * B, K, -1)
         lens = lens.reshape(nb * B, K)
         scores = scores.reshape(nb * B, K)
