@@ -179,9 +179,13 @@ if __name__ == "__main__":
     try:
         main()
     except Exception as e:   # pragma: no cover
-        # The tunneled backend occasionally throws transient runtime errors
+        # The tunneled backend occasionally throws transient RUNTIME errors
         # (observed: FAILED_PRECONDITION on a fetch that succeeded on
         # rerun); one retry keeps a flake from zeroing out a scoring run.
+        # Deterministic failures (config errors, assertions) re-raise
+        # immediately rather than re-running minutes of warm-up.
+        if type(e).__name__ not in ("JaxRuntimeError", "XlaRuntimeError"):
+            raise
         import sys
         import traceback
 

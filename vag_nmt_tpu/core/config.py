@@ -105,7 +105,10 @@ class TrainConfig:
                                     # stacks of K, so the within-epoch batch
                                     # visit order changes with K; numerics of
                                     # any given sequence are exactly the
-                                    # sequential single steps (tested).
+                                    # sequential single steps (tested). On
+                                    # TINY corpora the same-bucket runs
+                                    # inside stacks slow early convergence —
+                                    # set 1 there (the toy preset does).
     seed: int = 1234
     checkpoint_dir: str = "checkpoints"
     # Checkpoint retention is fixed: a "best" (by dev BLEU, mirroring the
@@ -252,7 +255,13 @@ PRESETS: Dict[str, Config] = {
         data=dict(dataset="toy", batch_size=16, max_src_len=16, max_tgt_len=16,
                   length_buckets=(8, 16)),
         decode=dict(beam_size=3, max_len=16, decode_batch_size=16),
-        train=dict(learning_rate=3e-3, eval_every_steps=200),
+        # steps_per_dispatch=1: K-stacks group same-bucket batches, and on a
+        # corpus this tiny (25 batches/epoch over 4 shapes) the correlated
+        # runs measurably slow early convergence (400-step dev BLEU 95 at
+        # K=1 vs 82-86 at K=4/8); at Multi30k scale the effect vanishes
+        # (K=8 trained to a slightly HIGHER dev BLEU than before).
+        train=dict(learning_rate=3e-3, eval_every_steps=200,
+                   steps_per_dispatch=1),
     ),
 }
 

@@ -212,31 +212,35 @@ class BucketBatcher:
                       shuffle: bool = True) -> Iterator[Batch]:
         """Epoch batches grouped into k-deep SAME-SHAPE stacks (every leaf
         gains a leading k axis) for the multi-step train dispatcher, plus
-        leftover single batches; emission order is shuffled with a
-        deterministic per-epoch seed. k=1 degrades to epoch()."""
+        leftover single batches. STREAMING: a stack is yielded as soon as k
+        same-shape batches have arrived (epoch() already shuffles, so stack
+        completion order is itself shuffled), leftovers at the end —
+        materializing the whole epoch first would stall the device at every
+        epoch start and hold an epoch of batches in host memory. k=1
+        degrades to epoch()."""
         if k <= 1:
             yield from self.epoch(epoch, shuffle)
             return
         pending: Dict[Tuple, List[Batch]] = {}
-        items: List[List[Batch]] = []
         for b in self.epoch(epoch, shuffle):
             tgt = b["tgt"] if "tgt" in b else b["tgt_in"]
             key = b["src"].shape + tgt.shape
             pending.setdefault(key, []).append(b)
             if len(pending[key]) == k:
-                items.append(pending.pop(key))
-        for rest in pending.values():
-            items.extend([b] for b in rest)
-        rng = np.random.RandomState(
-            (self.seed * 7919 + epoch + 1) & 0x7FFFFFFF)
-        order = rng.permutation(len(items)) if shuffle else range(len(items))
-        for idx in order:
-            chunk = items[idx]
-            if len(chunk) == 1:
-                yield chunk[0]
-            else:
-                yield {kk: np.stack([b[kk] for b in chunk])
+                chunk = pending.pop(key)
+                yield {kk: np.stack([bb[kk] for bb in chunk])
                        for kk in chunk[0]}
+        # Leftover singles must be re-shuffled ACROSS shapes: yielding them
+        # in pending-dict (shape) order serializes same-bucket batches,
+        # which measurably hurt convergence on small corpora where most
+        # batches are leftovers (toy 400-step dev BLEU dropped 93 -> 72).
+        leftovers = [b for rest in pending.values() for b in rest]
+        if shuffle and len(leftovers) > 1:
+            rng = np.random.RandomState(
+                (self.seed * 7919 + epoch + 1) & 0x7FFFFFFF)
+            leftovers = [leftovers[i]
+                         for i in rng.permutation(len(leftovers))]
+        yield from leftovers
 
     def num_batches(self) -> int:
         groups = self._assign()

@@ -49,6 +49,10 @@ def unpack_batch(buf: jnp.ndarray, spec: Spec) -> Dict[str, jnp.ndarray]:
         if dt.itemsize > 1:
             seg = jax.lax.bitcast_convert_type(
                 seg.reshape(-1, dt.itemsize), jnp.dtype(dt))
+        elif dt == np.bool_:
+            seg = seg != 0           # bool packs as bytes 0/1
+        elif dt != np.uint8:
+            seg = jax.lax.bitcast_convert_type(seg, jnp.dtype(dt))  # int8
         out[key] = seg.reshape(shape)
         off += n
     return out

@@ -59,18 +59,18 @@ def make_decode_fn(cfg: Config, beam_size: int, max_len: int):
 
 @lru_cache(maxsize=64)
 def make_fused_corpus_fn(cfg: Config, beam_size: int, max_len: int,
-                         multimodal: bool, mesh=None, nbest: bool = False,
-                         superchunk: int = 1):
+                         multimodal: bool, mesh=None, nbest: bool = False):
     """ONE jitted program decoding the ENTIRE corpus: lax.map over fixed-size
     chunks of a single padded (n_super, S, B, T_src) token array, image
     features gathered on-device from a resident table. One dispatch + one
     host fetch per corpus — per-call dispatch latency (~30ms on a tunneled
     chip) and per-bucket recompiles disappear from the decode path.
 
-    superchunk = S: each outer map iteration ENCODES S decode-chunks at once
-    (S*B rows in one encoder pass — measured ~25-30% of corpus decode time
-    was 16-32 small per-chunk encoder invocations whose matmuls underfill
-    the MXU) and then runs the S beam while_loops over slices of the shared
+    Super-chunking (S inferred from the input shapes; jit specializes per
+    shape): each outer map iteration ENCODES S decode-chunks at once (S*B
+    rows in one encoder pass — measured ~25-30% of corpus decode time was
+    16-32 small per-chunk encoder invocations whose matmuls underfill the
+    MXU) and then runs the S beam while_loops over slices of the shared
     encoded state. Per-row numerics are batch-size invariant, so hypotheses
     are identical for any S (tested).
 
@@ -186,12 +186,17 @@ def _translate_fused(params, cfg, examples, tgt_vocab, beam_size, max_len,
             # replicas of the last real sentence anyway)
             B += n_data - B % n_data
     nb = -(-n // B)
-    # Super-chunking: encode S decode-chunks (~1024 rows) per encoder pass;
-    # pad the chunk count so every outer map step carries exactly S chunks
-    # (filler chunks replicate the last real row and are decoded+discarded —
-    # bounded waste, only on small corpora).
-    S = min(max(1, 1024 // B), nb) if nb else 1
-    ns = -(-nb // S) if nb else 0
+    # Super-chunking: encode S decode-chunks (~1024 rows) per encoder pass.
+    # ns/S are BALANCED (ns = ceil(nb/S_max), S = ceil(nb/ns)) so padding
+    # adds at most S-1 chunks in the worst case and usually zero (e.g.
+    # nb=10, S_max=8 -> ns=2, S=5, no filler), instead of padding nb up to
+    # a multiple of S_max (which could decode ~60% filler).
+    if nb:
+        s_max = min(max(1, 1024 // B), nb)
+        ns = -(-nb // s_max)
+        S = -(-nb // ns)
+    else:
+        ns, S = 0, 1
     nb = ns * S
     t_src = _bucket_for(max(len(ex.src) for ex in examples),
                         cfg.data.length_buckets)
@@ -220,12 +225,20 @@ def _translate_fused(params, cfg, examples, tgt_vocab, beam_size, max_len,
         lens_in[r] = L
         ids[r] = i
     if n and n < nb * B:
-        # Filler rows replicate the last real row (src AND features): an
-        # all-masked empty source may never emit <eos>, which would force the
-        # final chunk's while_loop to run all max_len steps.
-        src[n:] = src[n - 1]
-        lens_in[n:] = lens_in[n - 1]
-        ids[n:] = ids[n - 1]
+        # Filler rows replicate a REAL row (src AND features): an all-masked
+        # empty source may never emit <eos>, which would force a chunk's
+        # while_loop to run all max_len steps. Rows padding out the last
+        # real chunk copy its own last row; rows of entirely-filler chunks
+        # copy row 0 — the SHORTEST sentence (ascending length order), so
+        # wasted filler chunks exit their beam loop in a few steps.
+        first_filler_chunk_row = (-(-n // B)) * B
+        src[n:first_filler_chunk_row] = src[n - 1]
+        lens_in[n:first_filler_chunk_row] = lens_in[n - 1]
+        ids[n:first_filler_chunk_row] = ids[n - 1]
+        if first_filler_chunk_row < nb * B:
+            src[first_filler_chunk_row:] = src[0]
+            lens_in[first_filler_chunk_row:] = lens_in[0]
+            ids[first_filler_chunk_row:] = ids[0]
     if multimodal:
         if img_table is None:
             img_table = build_img_table(examples, cfg.model.img_feat_dim)
@@ -239,7 +252,7 @@ def _translate_fused(params, cfg, examples, tgt_vocab, beam_size, max_len,
         img_table = jnp.zeros((1, 1), jnp.float32)
 
     run = make_fused_corpus_fn(cfg, beam_size, max_len, multimodal, mesh,
-                               nbest=bool(nbest), superchunk=S)
+                               nbest=bool(nbest))
     t0 = time.perf_counter()
     # ONE dispatch for the whole corpus. (Splitting into two dispatches to
     # overlap the first half's result fetch with the second's compute was

@@ -88,7 +88,9 @@ def train_loop(
     # chip vs 0.74 ms device compute with one-step dispatch).
     K = max(1, int(cfg.train.steps_per_dispatch))
     multi_fn = None
-    if K > 1:
+    if K > 1 and mesh is not None:
+        # Mesh path only: the single-device path dispatches K-stacks through
+        # the packed fns below and never calls this one.
         from vag_nmt_tpu.train.step import make_multi_step
 
         example_stack = {k: np.stack([v] * K) for k, v in
@@ -245,31 +247,31 @@ def train_loop(
                 state, aux = fn(state, arg, base_rng, train_img_table)
             else:
                 state, aux = fn(state, arg, base_rng)
-        hit = None
-        for j in range(1, multi_k + 1):
-            if (base + j) % log_every == log_mod:
-                hit = j
-        if hit is not None:
+        hits = [j for j in range(1, multi_k + 1)
+                if (base + j) % log_every == log_mod]
+        if hits:
             keys = sorted(aux)
             if multi_k > 1:
-                row = jnp.stack([aux[kk][hit - 1].astype(jnp.float32)
-                                 for kk in keys])
+                rows = jnp.stack([jnp.stack(
+                    [aux[kk][h - 1].astype(jnp.float32) for kk in keys])
+                    for h in hits])
             else:
-                row = jnp.stack([aux[kk].astype(jnp.float32) for kk in keys])
-            # Fetch the row NOW (one tiny transfer per log point): the fetch
-            # waits for every step dispatched so far, which makes the logged
-            # step_time_s a COMPLETION rate. Pure dispatch-rate windows
-            # overstated throughput whenever the device lagged the host
-            # (async dispatch returns immediately) — measured 3-4 ms/step
-            # dispatch-rate vs 6.6 ms/step completion-rate at m30k shapes.
-            row = np.asarray(row)
+                rows = jnp.stack([aux[kk].astype(jnp.float32)
+                                  for kk in keys])[None]
+            # Fetch the rows NOW (one tiny transfer per dispatch with a log
+            # point): the fetch waits for every step dispatched so far,
+            # which makes the logged step_time_s a COMPLETION rate. Pure
+            # dispatch-rate windows overstated throughput whenever the
+            # device lagged the host (async dispatch returns immediately) —
+            # measured 3-4 ms/step dispatch-rate vs 6.6 ms/step
+            # completion-rate at m30k shapes.
+            rows = np.asarray(rows)
             now = time.perf_counter()
             dt = (now - last_t) / max(base + multi_k - last_step, 1)
             last_t, last_step = now, base + multi_k
-            pending.append((base + hit, epoch, dt,
-                            step_flops(flops_src if flops_src is not None
-                                       else arg),
-                            keys, row))
+            fl = step_flops(flops_src if flops_src is not None else arg)
+            for h, row in zip(hits, rows):
+                pending.append((base + h, epoch, dt, fl, keys, row))
 
     def boundary_checks(epoch) -> bool:
         """Eval / max_steps / stop bookkeeping; returns True to stop."""
@@ -288,7 +290,7 @@ def train_loop(
             stop = True
         return stop
 
-    K_steps = K if multi_fn is not None or (use_packed and K > 1) else 1
+    K_steps = K
     try:
         for epoch in range(start_epoch, cfg.train.max_epochs):
             interrupted = False
