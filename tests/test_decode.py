@@ -105,3 +105,20 @@ def test_greedy_tokens_match_manual_argmax_rollout(setup):
         np.testing.assert_array_equal(np.asarray(toks[:, t]), nxt)
         finished |= nxt == EOS_ID
         tok = jnp.asarray(nxt)
+
+
+def test_fused_readout_topk_beam_matches_unfused(setup, monkeypatch):
+    """Full beam search through the fused readout+top-k kernel (interpret
+    mode off-TPU) must produce the same hypotheses/lengths as the unfused
+    logits + beam_topk path, and near-identical scores."""
+    params, m, state = setup
+    monkeypatch.setenv("VAG_READOUT_TOPK", "unfused")
+    ref = beam_search(params, m, state, beam_size=3, max_len=12)
+    monkeypatch.setenv("VAG_READOUT_TOPK", "fused")
+    fused = beam_search(params, m, state, beam_size=3, max_len=12)
+    np.testing.assert_array_equal(np.asarray(fused.tokens),
+                                  np.asarray(ref.tokens))
+    np.testing.assert_array_equal(np.asarray(fused.lengths),
+                                  np.asarray(ref.lengths))
+    np.testing.assert_allclose(np.asarray(fused.scores),
+                               np.asarray(ref.scores), rtol=1e-5, atol=1e-5)

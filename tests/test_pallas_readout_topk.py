@@ -1,0 +1,116 @@
+"""Parity tests: ops/pallas_readout_topk.fused_readout_topk vs the unfused
+beam_topk(t @ w + b) oracle (interpret mode off-TPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vag_nmt_tpu.ops.pallas_readout_topk import fused_readout_topk
+from vag_nmt_tpu.ops.pallas_topk import beam_topk
+
+
+def _oracle(t, w, b, scores, finished, pad_id=0):
+    logits = (jnp.dot(t, w, preferred_element_type=jnp.float32)
+              + b.astype(jnp.float32))
+    B, K = scores.shape
+    return beam_topk(logits.reshape(B, K, -1), scores, finished,
+                     pad_id=pad_id, impl="xla")
+
+
+def _rand_case(B, K, V, E, seed=0, fin_p=0.2, dtype=np.float32):
+    rng = np.random.RandomState(seed)
+    t = jnp.asarray(rng.randn(B * K, E).astype(dtype))
+    w = jnp.asarray(rng.randn(E, V).astype(dtype))
+    b = jnp.asarray(rng.randn(V).astype(np.float32))
+    scores = jnp.asarray(rng.randn(B, K).astype(np.float32))
+    finished = jnp.asarray(rng.rand(B, K) < fin_p)
+    return t, w, b, scores, finished
+
+
+@pytest.mark.parametrize("B,K,V,E", [(8, 5, 1024, 64), (8, 5, 1000, 64),
+                                     (16, 3, 640, 128), (8, 1, 512, 64)])
+def test_matches_oracle_random(B, K, V, E):
+    t, w, b, scores, finished = _rand_case(B, K, V, E, seed=B + K + V)
+    vf, idxf = fused_readout_topk(t, w, b, scores, finished, impl="pallas")
+    vo, idxo = _oracle(t, w, b, scores, finished)
+    # Continuous random data: index sets must agree; values to fp tolerance
+    # (the kernel's online logsumexp sums lanes in a different order).
+    np.testing.assert_array_equal(np.asarray(idxf), np.asarray(idxo))
+    np.testing.assert_allclose(np.asarray(vf), np.asarray(vo),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_exact_on_integer_weights():
+    """Small-integer t/w/b make every logit exactly representable, so the
+    fused path must reproduce the oracle's VALUES bitwise (modulo lse, which
+    both compute from the same exact logits)."""
+    rng = np.random.RandomState(7)
+    B, K, V, E = 8, 5, 768, 64
+    t = jnp.asarray(rng.randint(-3, 4, (B * K, E)).astype(np.float32))
+    w = jnp.asarray(rng.randint(-3, 4, (E, V)).astype(np.float32))
+    b = jnp.asarray(rng.randint(-3, 4, V).astype(np.float32))
+    scores = jnp.asarray(rng.randint(-5, 5, (B, K)).astype(np.float32))
+    finished = jnp.asarray(rng.rand(B, K) < 0.3)
+    vf, idxf = fused_readout_topk(t, w, b, scores, finished, impl="pallas")
+    vo, idxo = _oracle(t, w, b, scores, finished)
+    np.testing.assert_array_equal(np.asarray(idxf), np.asarray(idxo))
+    np.testing.assert_allclose(np.asarray(vf), np.asarray(vo),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_all_finished_rows():
+    t, w, b, scores, _ = _rand_case(8, 5, 640, 64, seed=3)
+    finished = jnp.ones((8, 5), bool)
+    vf, idxf = fused_readout_topk(t, w, b, scores, finished, impl="pallas")
+    vo, idxo = _oracle(t, w, b, scores, finished)
+    np.testing.assert_array_equal(np.asarray(idxf), np.asarray(idxo))
+    np.testing.assert_allclose(np.asarray(vf), np.asarray(vo),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_no_finished_rows():
+    t, w, b, scores, _ = _rand_case(8, 5, 640, 64, seed=4)
+    finished = jnp.zeros((8, 5), bool)
+    vf, idxf = fused_readout_topk(t, w, b, scores, finished, impl="pallas")
+    vo, idxo = _oracle(t, w, b, scores, finished)
+    np.testing.assert_array_equal(np.asarray(idxf), np.asarray(idxo))
+    np.testing.assert_allclose(np.asarray(vf), np.asarray(vo),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_bfloat16_inputs():
+    """Production dtype: bf16 t/w with fp32 accumulation. The oracle runs
+    the identical dot, so indices must agree."""
+    t, w, b, scores, finished = _rand_case(8, 5, 640, 64, seed=5)
+    t = t.astype(jnp.bfloat16)
+    w = w.astype(jnp.bfloat16)
+    vf, idxf = fused_readout_topk(t, w, b, scores, finished, impl="pallas")
+    vo, idxo = _oracle(t, w, b, scores, finished)
+    np.testing.assert_array_equal(np.asarray(idxf), np.asarray(idxo))
+    np.testing.assert_allclose(np.asarray(vf), np.asarray(vo),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_xla_impl_matches_unfused():
+    t, w, b, scores, finished = _rand_case(8, 5, 640, 64, seed=6)
+    vf, idxf = fused_readout_topk(t, w, b, scores, finished, impl="xla")
+    vo, idxo = _oracle(t, w, b, scores, finished)
+    np.testing.assert_array_equal(np.asarray(idxf), np.asarray(idxo))
+    np.testing.assert_array_equal(np.asarray(vf), np.asarray(vo))
+
+
+def test_lse_semantics():
+    """The fused top-score for a live row equals scores + log-softmax prob
+    of the argmax token (the definition, independent of the oracle path)."""
+    t, w, b, scores, _ = _rand_case(4, 2, 512, 32, seed=8)
+    finished = jnp.zeros((4, 2), bool)
+    vf, idxf = fused_readout_topk(t, w, b, scores, finished, impl="pallas")
+    logits = np.asarray(jnp.dot(t, w) + b).reshape(4, 2, 512)
+    logp = logits - np.log(np.exp(
+        logits - logits.max(-1, keepdims=True)).sum(-1, keepdims=True)) \
+        - logits.max(-1, keepdims=True)
+    cand = np.asarray(scores)[..., None] + logp
+    best = cand.reshape(4, -1).max(-1)
+    np.testing.assert_allclose(np.asarray(vf)[:, 0], best, rtol=1e-5,
+                               atol=1e-5)

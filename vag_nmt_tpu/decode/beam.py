@@ -25,8 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from vag_nmt_tpu.core.config import EOS_ID, ModelConfig, PAD_ID, SOS_ID
-from vag_nmt_tpu.models.model import DecodeState, decode_step
-from vag_nmt_tpu.ops.pallas_topk import beam_topk
+from vag_nmt_tpu.models.model import DecodeState, decode_step_topk
 
 NEG_INF = -1e9
 
@@ -55,18 +54,20 @@ def beam_search(
         t, _, _, _, _, finished, _ = carry
         return (t < max_len) & ~jnp.all(finished)
 
+    V = cfg.tgt_vocab_size
+
     def body(carry):
         t, last_tok, s, scores, tokens, finished, lengths = carry
-        s_new, logits = decode_step(params, cfg, last_tok, s, state)
-        V = logits.shape[-1]
-        # Fused candidate-scoring + top-k: finished rows are forced to
-        # continue with <pad> at log-prob 0 (they ride along frozen and keep
-        # competing), live rows score scores + log-softmax. Default impl is
-        # the XLA path (candidates + lax.top_k); a streaming Pallas kernel
-        # with identical results ships behind VAG_TOPK_IMPL=pallas — see
-        # ops/pallas_topk.py's module doc for the measured in-context
-        # comparison.
-        top_scores, idx = beam_topk(logits, scores, finished)
+        # Fused decoder-step + candidate-scoring + top-k: finished rows are
+        # forced to continue with <pad> at log-prob 0 (they ride along
+        # frozen and keep competing), live rows score scores + log-softmax.
+        # On TPU the vocab projection runs INSIDE the streaming top-k kernel
+        # (ops/pallas_readout_topk) so the (B*K, V) logits never reach HBM;
+        # elsewhere logits materialize and beam_topk handles scoring (env
+        # VAG_READOUT_TOPK / VAG_TOPK_IMPL override — see the module docs
+        # for measured comparisons).
+        s_new, top_scores, idx = decode_step_topk(
+            params, cfg, last_tok, s, state, scores, finished)
         beam_idx = idx // V
         tok = (idx % V).astype(jnp.int32)
 

@@ -109,6 +109,29 @@ def step_from_xgates(
     return s_new, logits, w
 
 
+def _beams_step_core(
+    params: Dict[str, Any],
+    tok: jnp.ndarray,        # (B, K)
+    s: jnp.ndarray,          # (B, K, H)
+    ctx: jnp.ndarray,
+    ctx_proj: jnp.ndarray,
+    src_mask: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Shared GRU1 -> attention -> GRU2 body of a beam decoder step.
+    Returns (s_new (B*K, H), y_emb (B*K, E), c_flat (B*K, C), attn)."""
+    B, K = tok.shape
+    H = s.shape[-1]
+    y = embed(params["embed"], tok.reshape(-1)).astype(ctx.dtype)
+    xg1 = gru_gates_from_x(params["gru1"], y)
+    s_tilde = gru_cell_from_xgates(params["gru1"], xg1, s.reshape(B * K, H))
+    c, w = bahdanau_attend_beams(
+        params["attn"], s_tilde.reshape(B, K, H), ctx, ctx_proj, src_mask)
+    c_flat = c.reshape(B * K, -1)
+    s_new = gru_cell_from_xgates(
+        params["gru2"], gru_gates_from_x(params["gru2"], c_flat), s_tilde)
+    return s_new, y, c_flat, w
+
+
 def decode_step_beams(
     params: Dict[str, Any],
     cfg: ModelConfig,
@@ -127,16 +150,38 @@ def decode_step_beams(
     Returns (s_new (B,K,H), logits (B,K,V) fp32, attn (B,K,T))."""
     B, K = tok.shape
     H = s.shape[-1]
-    y = embed(params["embed"], tok.reshape(-1)).astype(ctx.dtype)
-    xg1 = gru_gates_from_x(params["gru1"], y)
-    s_tilde = gru_cell_from_xgates(params["gru1"], xg1, s.reshape(B * K, H))
-    c, w = bahdanau_attend_beams(
-        params["attn"], s_tilde.reshape(B, K, H), ctx, ctx_proj, src_mask)
-    c_flat = c.reshape(B * K, -1)
-    s_new = gru_cell_from_xgates(
-        params["gru2"], gru_gates_from_x(params["gru2"], c_flat), s_tilde)
+    s_new, y, c_flat, w = _beams_step_core(params, tok, s, ctx, ctx_proj,
+                                           src_mask)
     logits = _readout_logits(params, cfg, y, s_new, c_flat, None)
     return (s_new.reshape(B, K, H), logits.reshape(B, K, -1), w)
+
+
+def decode_step_beams_readout(
+    params: Dict[str, Any],
+    cfg: ModelConfig,
+    tok: jnp.ndarray,        # (B, K)
+    s: jnp.ndarray,          # (B, K, H)
+    ctx: jnp.ndarray,
+    ctx_proj: jnp.ndarray,
+    src_mask: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Beam decoder step stopping at the readout ACTIVATIONS: returns
+    (s_new (B,K,H), t (B*K, R) in compute dtype, w_out (R, V), b_out (V,))
+    so the vocab projection can run fused with top-k
+    (ops/pallas_readout_topk) without materializing (B*K, V) logits."""
+    B, K = tok.shape
+    H = s.shape[-1]
+    s_new, y, c_flat, _ = _beams_step_core(params, tok, s, ctx, ctx_proj,
+                                           src_mask)
+    r = params["readout"]
+    t = jnp.tanh(
+        jnp.dot(y, r["wy"], preferred_element_type=jnp.float32)
+        + jnp.dot(s_new, r["ws"], preferred_element_type=jnp.float32)
+        + jnp.dot(c_flat, r["wc"], preferred_element_type=jnp.float32)
+        + r["b"]
+    )
+    return (s_new.reshape(B, K, H), t.astype(c_flat.dtype),
+            _out_matrix(params, cfg), r["b_out"].astype(jnp.float32))
 
 
 def teacher_forced_logits(

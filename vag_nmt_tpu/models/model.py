@@ -161,3 +161,49 @@ def decode_step(
         params["decoder"], cfg, tok, s, state.ctx, state.ctx_proj,
         state.src_mask)
     return s_new, logits
+
+
+def decode_step_topk(
+    params: Params,
+    cfg: ModelConfig,
+    tok: jnp.ndarray,       # (B, K) previous tokens
+    s: jnp.ndarray,         # (B, K, H)
+    state: DecodeState,
+    scores: jnp.ndarray,    # (B, K) fp32 running beam scores
+    finished: jnp.ndarray,  # (B, K) bool
+    *,
+    impl: str = "auto",
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One beam step fused with candidate scoring + top-K: returns
+    (s_new (B,K,H), top_scores (B,K), flat_idx (B,K), flat = beam*V + token)
+    with ops/pallas_topk.beam_topk's candidate semantics.
+
+    impl: "fused" runs the vocab projection inside the streaming
+    readout+top-k kernel — the (B*K, V) logits never touch HBM
+    (ops/pallas_readout_topk); "unfused" materializes logits and calls
+    beam_topk; "auto" picks fused on TPU (env VAG_READOUT_TOPK overrides)."""
+    if impl == "auto":
+        import os
+
+        impl = os.environ.get("VAG_READOUT_TOPK", "")
+        if impl not in ("fused", "unfused"):
+            impl = "fused" if jax.default_backend() == "tpu" else "unfused"
+
+    if impl == "fused":
+        from vag_nmt_tpu.ops.pallas_readout_topk import fused_readout_topk
+
+        s_new, t, w_out, b_out = dec.decode_step_beams_readout(
+            params["decoder"], cfg, tok, s, state.ctx, state.ctx_proj,
+            state.src_mask)
+        # impl="pallas" (not auto): choosing the fused STRUCTURE means the
+        # streaming kernel — off-TPU it runs in interpret mode, which is
+        # what the cross-impl beam parity tests exercise.
+        top_scores, idx = fused_readout_topk(t, w_out, b_out, scores,
+                                             finished, impl="pallas")
+        return s_new, top_scores, idx
+
+    from vag_nmt_tpu.ops.pallas_topk import beam_topk
+
+    s_new, logits = decode_step(params, cfg, tok, s, state)
+    top_scores, idx = beam_topk(logits, scores, finished)
+    return s_new, top_scores, idx

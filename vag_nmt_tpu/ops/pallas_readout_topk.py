@@ -1,0 +1,236 @@
+"""Fused readout-GEMM + log-softmax + beam top-k (SURVEY.md C12; VERDICT r2
+item 1 — the decode step's vocab pipeline was its dominant HBM cost).
+
+The unfused beam step materializes the (B*K, V) fp32 logits in HBM (~20 MB
+at the flagship shape), then reads them for logsumexp, reads them again to
+build the candidate grid, and reads them once more inside top-k — >80 MB of
+HBM round trips per decode step for ~2.6 GFLOP of matmul. This kernel fuses
+the whole vocab pipeline into ONE streaming pass that never leaves VMEM:
+
+    for each 512-wide vocab block j:
+        logits_blk = t @ W[:, j] + b[j]          (MXU, fp32 accumulate)
+        per-lane online logsumexp update          (VPU)
+        per-lane running top-K insertion cascade  (VPU, ops/pallas_topk gen-3)
+    final block: K cross-lane extract-max rounds -> per-row top-K,
+                 cross-lane logsumexp merge       -> per-row lse
+
+HBM traffic per step drops to reading t (R,E) once + W (E,V) once (~4.3 MB
+bf16) + (R,K) outputs — the (R,V) logits never exist in HBM.
+
+The live/frozen candidate semantics and the K*K -> K cross-beam combine
+(identical to ops/pallas_topk.beam_topk's contract) are applied to the tiny
+(R, K) kernel outputs in XLA:
+
+    live row:    cand = (scores - lse) + topk_raw_logits
+    frozen row:  [(scores, pad_id), (scores + NEG_INF, next smallest ids)]
+
+Per-row ordering is exact (adding the per-row base preserves the raw-logit
+order); cross-beam values match beam_topk bitwise except when fp32 rounding
+of base+logit creates a tie that did not exist in the raw logits — a
+measure-zero corner the parity tests cover with integer-valued weights
+(exact) plus random-data index equality."""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vag_nmt_tpu.core.config import PAD_ID
+from vag_nmt_tpu.ops.pallas_topk import NEG_INF, _FLOOR
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _kernel(t_ref, w_ref, b_ref, vals_ref, idx_ref, lse_ref,
+            lg, s_l, *slots, V: int, tv: int, K: int):
+    """Grid (nv,): one row tile holding all R rows; vocab streams in tv-wide
+    blocks. Scratch (persists across grid steps): lg (R, tv) f32 logits
+    block, s_l (R, 128) per-lane sumexp relative to the per-lane max
+    (= running top-1 slot), slots = K vals refs + K idx refs (R, 128)."""
+    j = pl.program_id(0)
+    nv = pl.num_programs(0)
+    run_vals = slots[:K]
+    run_idx = slots[K:]
+    R = t_ref.shape[0]
+
+    @pl.when(j == 0)
+    def _():
+        for i in range(K):
+            run_vals[i][:] = jnp.full_like(run_vals[i], _FLOOR)
+            run_idx[i][:] = jnp.zeros_like(run_idx[i])
+        s_l[:] = jnp.zeros_like(s_l)
+
+    # The vocab-block GEMM: (R, E) x (E, tv) on the MXU, fp32 accumulate.
+    # Written to VMEM scratch so the per-128-lane sub-tiles below slice a
+    # REF, not a computed value (lane-slicing computed/broadcast values
+    # crashes Mosaic's layout inference — see ops/pallas_topk.py gen-3).
+    lg[:] = (jnp.dot(t_ref[...], w_ref[...],
+                     preferred_element_type=jnp.float32)
+             + b_ref[...].astype(jnp.float32))
+
+    vals = [run_vals[i][...] for i in range(K)]
+    idxs = [run_idx[i][...] for i in range(K)]
+    s = s_l[...]
+    for c in range(tv // 128):
+        xi = (j * tv + c * 128
+              + jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1))
+        x = lg[:, c * 128:(c + 1) * 128]
+        x = jnp.where(xi < V, x, _FLOOR)
+        # Online logsumexp, per lane, referenced to the running top-1 slot
+        # (vals[0] IS the per-lane max). _FLOOR fillers contribute exp of
+        # ~-3e38 -> exactly 0.
+        m_old = vals[0]
+        m_new = jnp.maximum(m_old, x)
+        s = s * jnp.exp(m_old - m_new) + jnp.exp(x - m_new)
+        # Insertion cascade (branch-free): x sinks through the K sorted
+        # slots; strict > keeps the stored (earlier-index) entry on ties.
+        for i in range(K):
+            gt = x > vals[i]
+            vals[i], x = jnp.maximum(vals[i], x), jnp.minimum(vals[i], x)
+            idxs[i], xi = (jnp.where(gt, xi, idxs[i]),
+                           jnp.where(gt, idxs[i], xi))
+    for i in range(K):
+        run_vals[i][:] = vals[i]
+        run_idx[i][:] = idxs[i]
+    s_l[:] = s
+
+    @pl.when(j == nv - 1)
+    def _():
+        # Cross-lane top-K merge: K extract-max rounds over the K (R, 128)
+        # slot arrays; removal matches on (value, index) so duplicates of
+        # the extracted value elsewhere survive later rounds. Ties pick the
+        # smaller vocab index, matching lax.top_k.
+        sv = [run_vals[i][...] for i in range(K)]
+        si = [run_idx[i][...] for i in range(K)]
+        BIG = jnp.int32(2 ** 30)
+        out_v = []
+        out_i = []
+        for _ in range(K):
+            mx = sv[0].max(axis=1)
+            for i in range(1, K):
+                mx = jnp.maximum(mx, sv[i].max(axis=1))            # (R,)
+            a = jnp.min(jnp.where(sv[0] == mx[:, None], si[0], BIG), axis=1)
+            for i in range(1, K):
+                a = jnp.minimum(
+                    a, jnp.min(jnp.where(sv[i] == mx[:, None], si[i], BIG),
+                               axis=1))
+            a = a.astype(jnp.int32)
+            out_v.append(mx)
+            out_i.append(a)
+            for i in range(K):
+                hit = (sv[i] == mx[:, None]) & (si[i] == a[:, None])
+                sv[i] = jnp.where(hit, _FLOOR, sv[i])
+        vals_ref[...] = jnp.stack(out_v, axis=1)
+        idx_ref[...] = jnp.stack(out_i, axis=1)
+        # Cross-lane logsumexp merge: M = max lane max; S = sum of per-lane
+        # sums rescaled to M.
+        m_l = run_vals[0][...]
+        M = jnp.max(m_l, axis=1)                                   # (R,)
+        S = jnp.sum(s_l[...] * jnp.exp(m_l - M[:, None]), axis=1)
+        lse_ref[...] = (M + jnp.log(S))[:, None]
+
+
+def _combine(rvals, ridx, lse, scores, finished, V, pad_id):
+    """Apply live/frozen candidate semantics to the per-row (R, K) raw-logit
+    top-K and run the K*K -> K cross-beam combine (beam_topk's contract)."""
+    B, K = scores.shape
+    rvals = rvals.reshape(B, K, K)
+    ridx = ridx.reshape(B, K, K)
+    lse = lse.reshape(B, K)
+    base = scores - jnp.where(finished, 0.0, lse)
+
+    live_vals = base[..., None] + rvals
+    slot = jnp.arange(K, dtype=jnp.int32)
+    froz_vals = jnp.where(slot == 0, base[..., None],
+                          base[..., None] + NEG_INF)
+    # Frozen-row candidates as beam_topk sees them: base at pad_id, then
+    # base+NEG_INF at the smallest vocab ids != pad_id (tie-break order).
+    rest = slot[:-1] + (slot[:-1] >= pad_id)
+    froz_idx = jnp.concatenate(
+        [jnp.asarray([pad_id], jnp.int32), rest.astype(jnp.int32)])
+
+    fin3 = finished[..., None]
+    vals = jnp.where(fin3, froz_vals, live_vals)
+    idx = jnp.where(fin3, froz_idx[None, None, :], ridx)
+    beam = jnp.arange(K, dtype=jnp.int32)[None, :, None]
+    flat = (idx + beam * V).reshape(B, K * K)
+    top, pos = jax.lax.top_k(vals.reshape(B, K * K), K)
+    return top, jnp.take_along_axis(flat, pos, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("pad_id", "impl"))
+def fused_readout_topk(
+    t: jnp.ndarray,           # (B*K, E) readout activations (beam-major rows)
+    w: jnp.ndarray,           # (E, V) output matrix (compute dtype)
+    b: jnp.ndarray,           # (V,) fp32 output bias
+    scores: jnp.ndarray,      # (B, K) fp32 running beam scores
+    finished: jnp.ndarray,    # (B, K) bool
+    *,
+    pad_id: int = PAD_ID,
+    impl: str = "auto",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Top-K next-beam candidates straight from the readout activations.
+
+    Identical contract to ops/pallas_topk.beam_topk applied to
+    ``logits = t @ w + b`` reshaped to (B, K, V): returns (top_scores (B, K)
+    fp32 descending, flat_idx (B, K) int32, flat = beam * V + token) — but
+    the logits are never materialized in HBM.
+
+    impl: "auto" (kernel on TPU, xla elsewhere; env VAG_READOUT_TOPK
+    overrides), "pallas" (force kernel), "xla" (materialize logits and call
+    beam_topk's xla path — the numerics oracle)."""
+    B, K = scores.shape
+    E, V = w.shape
+    R = t.shape[0]
+    if R != B * K:
+        raise ValueError(f"t rows {R} != B*K = {B * K}")
+
+    if impl == "auto":
+        impl = os.environ.get("VAG_READOUT_TOPK", "")
+        if impl not in ("xla", "pallas"):
+            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+
+    if impl == "xla":
+        from vag_nmt_tpu.ops.pallas_topk import beam_topk
+
+        logits = (jnp.dot(t, w, preferred_element_type=jnp.float32)
+                  + b.astype(jnp.float32))
+        return beam_topk(logits.reshape(B, K, V), scores, finished,
+                         pad_id=pad_id, impl="xla")
+
+    tv = 512
+    nv = -(-V // tv)
+    rvals, ridx, lse = pl.pallas_call(
+        functools.partial(_kernel, V=V, tv=tv, K=K),
+        grid=(nv,),
+        in_specs=[
+            pl.BlockSpec((R, E), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((E, tv), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tv), lambda j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((R, K), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, K), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((R, K), jnp.float32),
+            jax.ShapeDtypeStruct((R, K), jnp.int32),
+            jax.ShapeDtypeStruct((R, 1), jnp.float32),
+        ],
+        scratch_shapes=([pltpu.VMEM((R, tv), jnp.float32),
+                         pltpu.VMEM((R, 128), jnp.float32)]
+                        + [pltpu.VMEM((R, 128), jnp.float32)] * K
+                        + [pltpu.VMEM((R, 128), jnp.int32)] * K),
+        interpret=_interpret(),
+    )(t, w, b.reshape(1, V))
+    return _combine(rvals, ridx, lse,
+                    scores.astype(jnp.float32), finished, V, pad_id)
