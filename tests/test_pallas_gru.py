@@ -124,3 +124,48 @@ def test_padding_invariance_pallas():
                                rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(np.asarray(hl2), np.asarray(hl1),
                                rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_bf16_stream_matches_oracle(reverse):
+    """bf16 compute dtype: the kernel streams xg/states in bf16 (fp32 VMEM
+    carry). Compare against the bf16 XLA oracle (bf16 scan carry) — both
+    approximate the fp32 truth within bf16 noise, so a loose tolerance."""
+    params, x, mask, h0 = _setup(B=8, T=12, E=16, H=32)
+    params16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+    x16 = x.astype(jnp.bfloat16)
+    h016 = h0.astype(jnp.bfloat16)
+    hs_ref, hl_ref = gru_scan(params16, x16, mask, h016, reverse=reverse,
+                              impl="xla")
+    hs, hl = pallas_gru_scan(params16, x16, mask, h016, reverse=reverse)
+    assert hs.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(hs, np.float32),
+                               np.asarray(hs_ref, np.float32),
+                               rtol=5e-2, atol=5e-2)
+    np.testing.assert_allclose(np.asarray(hl, np.float32),
+                               np.asarray(hl_ref, np.float32),
+                               rtol=5e-2, atol=5e-2)
+
+
+def test_bf16_stream_gradients_close_to_fp32():
+    """bf16-stream grads must track the fp32-stream kernel grads (fp32
+    accumulation inside: weight grads should be bf16-input-rounding away)."""
+    params, x, mask, h0 = _setup(B=8, T=8, E=8, H=16)
+    params16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+
+    def loss(x_in, h_in):
+        def f(p):
+            hs, hl = pallas_gru_scan(p, x_in, mask, h_in)
+            w = jnp.arange(1, hs.shape[1] + 1, dtype=jnp.float32)[None, :, None]
+            return (hs.astype(jnp.float32) * w).sum() \
+                + 2.0 * (hl.astype(jnp.float32) ** 2).sum()
+        return f
+
+    g32 = jax.grad(loss(x, h0))(params)
+    g16 = jax.grad(loss(x.astype(jnp.bfloat16),
+                        h0.astype(jnp.bfloat16)))(params16)
+    for name in ("wi", "bi", "uh", "bh"):
+        a = np.asarray(g16[name], np.float32)
+        b = np.asarray(g32[name], np.float32)
+        denom = max(1.0, float(np.abs(b).max()))
+        assert np.abs(a - b).max() / denom < 6e-2, name

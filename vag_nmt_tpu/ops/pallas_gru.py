@@ -104,16 +104,23 @@ def _fwd_kernel(xg_ref, mask_ref, uh_ref, bh_ref, h0_ref, out_ref, h_scr,
     def _():
         h_scr[:] = h0_ref[:]
 
+    # Stream dtype (VERDICT r2 item 3): xg/out blocks travel in the compute
+    # dtype (bf16 under compute_dtype="bfloat16" — halves the kernel's
+    # (T,B,3H)+(T,B,H) HBM traffic), while the carried state and all gate
+    # math stay fp32 in VMEM. uh is passed fp32 (so its grad accumulates
+    # fp32) and cast once per grid step for the MXU.
+    cdt = xg_ref.dtype
     h = h_scr[:]
-    uh = uh_ref[:]
+    uh = uh_ref[:].astype(cdt)
     bh = bh_ref[:]
     steps = range(kt - 1, -1, -1) if reverse else range(kt)
     for j in steps:                      # static unroll
-        hg = jnp.dot(h, uh, preferred_element_type=jnp.float32) + bh
-        _, _, _, h_new = _gates(xg_ref[j], hg, h)
+        hg = jnp.dot(h.astype(cdt), uh,
+                     preferred_element_type=jnp.float32) + bh
+        _, _, _, h_new = _gates(xg_ref[j].astype(jnp.float32), hg, h)
         m = mask_ref[j][:, :1]
         h = jnp.where(m > 0, h_new, h)
-        out_ref[j] = h
+        out_ref[j] = h.astype(out_ref.dtype)
     h_scr[:] = h
 
 
@@ -145,7 +152,7 @@ def _fwd_call(xg_t, mask_t, uh, bh, h0, *, reverse: bool, tb: int):
         ],
         out_specs=pl.BlockSpec((kt, tb, H), lambda i, t: (blk(t), i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((T, B, H), xg_t.dtype),
         scratch_shapes=[pltpu.VMEM((tb, H), jnp.float32)],
         compiler_params=_COMPILER_PARAMS,
         interpret=_interpret(),
@@ -168,7 +175,12 @@ def _bwd_kernel(xg_ref, mask_ref, uh_ref, bh_ref, h0_ref, hsblk_ref,
         du_ref[:] = jnp.zeros_like(du_ref)
         dbh_ref[:] = jnp.zeros_like(dbh_ref)
 
+    # Stream dtype: xg/hs/g/dxg blocks travel in the compute dtype (cdt);
+    # all gate/grad math and the du/dbh/dh accumulators stay fp32 (uh is
+    # passed fp32 so its grad never round-trips through bf16).
+    cdt = xg_ref.dtype
     uh = uh_ref[:]
+    uh_c = uh.astype(cdt)
     bh = bh_ref[:]
     H = dh_scr.shape[-1]
     dh = dh_scr[:]
@@ -186,14 +198,17 @@ def _bwd_kernel(xg_ref, mask_ref, uh_ref, bh_ref, h0_ref, hsblk_ref,
             # hedge holds hs at the scan-preceding position of this block's
             # edge; on the last grid step that position doesn't exist and
             # h0 is the true previous state.
-            h_prev = jnp.where(t == nt - 1, h0_ref[:], hedge_ref[0])
+            h_prev = jnp.where(t == nt - 1, h0_ref[:],
+                               hedge_ref[0].astype(jnp.float32))
         else:
-            h_prev = hsblk_ref[j + 1] if reverse else hsblk_ref[j - 1]
-        xg = xg_ref[j]
-        hg = jnp.dot(h_prev, uh, preferred_element_type=jnp.float32) + bh
+            h_prev = (hsblk_ref[j + 1] if reverse
+                      else hsblk_ref[j - 1]).astype(jnp.float32)
+        xg = xg_ref[j].astype(jnp.float32)
+        hg = jnp.dot(h_prev.astype(cdt), uh_c,
+                     preferred_element_type=jnp.float32) + bh
         r, z, n, _ = _gates(xg, hg, h_prev)
 
-        dh = dh + g_ref[j]
+        dh = dh + g_ref[j].astype(jnp.float32)
         m = mask_ref[j][:, :1]
         dh_cell = dh * m                  # masked steps: all grad to carry
         dn = dh_cell * (1.0 - z)
@@ -208,11 +223,12 @@ def _bwd_kernel(xg_ref, mask_ref, uh_ref, bh_ref, h0_ref, hsblk_ref,
 
         dh = (dh_cell * z + dh * (1.0 - m)
               + jax.lax.dot_general(      # dhg @ uh^T without transpose
-                  dhg, uh, (((1,), (1,)), ((), ())),
+                  dhg.astype(cdt), uh_c, (((1,), (1,)), ((), ())),
                   preferred_element_type=jnp.float32))
-        dxg_ref[j] = jnp.concatenate([da_r, da_z, da_n], axis=-1)
+        dxg_ref[j] = jnp.concatenate([da_r, da_z, da_n],
+                                     axis=-1).astype(dxg_ref.dtype)
         du_acc += jax.lax.dot_general(    # h_prev^T @ dhg
-            h_prev, dhg, (((0,), (0,)), ((), ())),
+            h_prev.astype(cdt), dhg.astype(cdt), (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         dbh_acc += jnp.sum(dhg, axis=0)
 
@@ -277,7 +293,7 @@ def _bwd_call(xg_t, mask_t, uh, bh, h0, hs_t, g_t, *, reverse: bool, tb: int):
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, B, H3), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, H3), xg_t.dtype),
             jax.ShapeDtypeStruct((B, H), jnp.float32),
             jax.ShapeDtypeStruct((nb, H, H3), jnp.float32),
             jax.ShapeDtypeStruct((nb, 1, H3), jnp.float32),
@@ -363,10 +379,22 @@ def pallas_gru_scan(
     reverse: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Drop-in for the XLA gru_scan (ops/gru.py): (states, final_state)."""
+    import os
+
     from vag_nmt_tpu.ops.gru import gru_gates_from_x
 
+    # Stream dtype (VERDICT r2 item 3): under compute_dtype="bfloat16" the
+    # big time streams (xg_t in, states out, and their grads) travel bf16 —
+    # half the kernel's HBM traffic — while the carried state, gate math,
+    # and weight-grad accumulation stay fp32 in VMEM (more precise than the
+    # XLA oracle, whose scan carry is bf16). VAG_GRU_STREAM=fp32 forces the
+    # fp32 streams for A/B comparison and as the grad-check oracle.
+    stream = (jnp.bfloat16
+              if (x.dtype == jnp.bfloat16
+                  and os.environ.get("VAG_GRU_STREAM", "") != "fp32")
+              else jnp.float32)
     xg = gru_gates_from_x(params, x)                  # big MXU matmul, XLA
-    xg_t = jnp.swapaxes(xg, 0, 1).astype(jnp.float32)        # (T, B, 3H)
+    xg_t = jnp.swapaxes(xg, 0, 1).astype(stream)             # (T, B, 3H)
     mask_t = jnp.swapaxes(mask, 0, 1)[..., None].astype(jnp.float32)
     args = (xg_t, mask_t, params["uh"].astype(jnp.float32),
             params["bh"].astype(jnp.float32), h0.astype(jnp.float32))

@@ -50,11 +50,14 @@ def _interpret() -> bool:
 
 
 def _kernel(t_ref, w_ref, b_ref, vals_ref, idx_ref, lse_ref,
-            lg, s_l, *slots, V: int, tv: int, K: int):
+            lg, s_l, *slots, V: int, tv: int, K: int, direct: bool):
     """Grid (nv,): one row tile holding all R rows; vocab streams in tv-wide
     blocks. Scratch (persists across grid steps): lg (R, tv) f32 logits
     block, s_l (R, 128) per-lane sumexp relative to the per-lane max
-    (= running top-1 slot), slots = K vals refs + K idx refs (R, 128)."""
+    (= running top-1 slot), slots = K vals refs + K idx refs (R, 128).
+    direct=True computes the GEMM per 128-lane sub-tile straight into
+    registers (slicing the w REF) instead of materializing the (R, tv)
+    logits block in VMEM scratch first."""
     j = pl.program_id(0)
     nv = pl.num_programs(0)
     run_vals = slots[:K]
@@ -68,21 +71,30 @@ def _kernel(t_ref, w_ref, b_ref, vals_ref, idx_ref, lse_ref,
             run_idx[i][:] = jnp.zeros_like(run_idx[i])
         s_l[:] = jnp.zeros_like(s_l)
 
-    # The vocab-block GEMM: (R, E) x (E, tv) on the MXU, fp32 accumulate.
-    # Written to VMEM scratch so the per-128-lane sub-tiles below slice a
-    # REF, not a computed value (lane-slicing computed/broadcast values
-    # crashes Mosaic's layout inference — see ops/pallas_topk.py gen-3).
-    lg[:] = (jnp.dot(t_ref[...], w_ref[...],
-                     preferred_element_type=jnp.float32)
-             + b_ref[...].astype(jnp.float32))
+    if not direct:
+        # The vocab-block GEMM: (R, E) x (E, tv) on the MXU, fp32
+        # accumulate. Written to VMEM scratch so the per-128-lane sub-tiles
+        # below slice a REF, not a computed value (lane-slicing
+        # computed/broadcast values crashes Mosaic's layout inference — see
+        # ops/pallas_topk.py gen-3).
+        lg[:] = (jnp.dot(t_ref[...], w_ref[...],
+                         preferred_element_type=jnp.float32)
+                 + b_ref[...].astype(jnp.float32))
 
     vals = [run_vals[i][...] for i in range(K)]
     idxs = [run_idx[i][...] for i in range(K)]
     s = s_l[...]
+    t_blk = t_ref[...] if direct else None
     for c in range(tv // 128):
         xi = (j * tv + c * 128
               + jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1))
-        x = lg[:, c * 128:(c + 1) * 128]
+        if direct:
+            x = (jnp.dot(t_blk, w_ref[:, c * 128:(c + 1) * 128],
+                         preferred_element_type=jnp.float32)
+                 + b_ref[0, c * 128:(c + 1) * 128][None, :]
+                 .astype(jnp.float32))
+        else:
+            x = lg[:, c * 128:(c + 1) * 128]
         x = jnp.where(xi < V, x, _FLOOR)
         # Online logsumexp, per lane, referenced to the running top-1 slot
         # (vals[0] IS the per-lane max). _FLOOR fillers contribute exp of
@@ -166,7 +178,8 @@ def _combine(rvals, ridx, lse, scores, finished, V, pad_id):
     return top, jnp.take_along_axis(flat, pos, axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("pad_id", "impl"))
+@functools.partial(jax.jit,
+                   static_argnames=("pad_id", "impl", "tv", "direct"))
 def fused_readout_topk(
     t: jnp.ndarray,           # (B*K, E) readout activations (beam-major rows)
     w: jnp.ndarray,           # (E, V) output matrix (compute dtype)
@@ -176,6 +189,8 @@ def fused_readout_topk(
     *,
     pad_id: int = PAD_ID,
     impl: str = "auto",
+    tv: int = 512,
+    direct: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Top-K next-beam candidates straight from the readout activations.
 
@@ -206,10 +221,9 @@ def fused_readout_topk(
         return beam_topk(logits.reshape(B, K, V), scores, finished,
                          pad_id=pad_id, impl="xla")
 
-    tv = 512
     nv = -(-V // tv)
     rvals, ridx, lse = pl.pallas_call(
-        functools.partial(_kernel, V=V, tv=tv, K=K),
+        functools.partial(_kernel, V=V, tv=tv, K=K, direct=direct),
         grid=(nv,),
         in_specs=[
             pl.BlockSpec((R, E), lambda j: (0, 0), memory_space=pltpu.VMEM),
@@ -226,7 +240,8 @@ def fused_readout_topk(
             jax.ShapeDtypeStruct((R, K), jnp.int32),
             jax.ShapeDtypeStruct((R, 1), jnp.float32),
         ],
-        scratch_shapes=([pltpu.VMEM((R, tv), jnp.float32),
+        scratch_shapes=([pltpu.VMEM((8, 128) if direct else (R, tv),
+                                    jnp.float32),
                          pltpu.VMEM((R, 128), jnp.float32)]
                         + [pltpu.VMEM((R, 128), jnp.float32)] * K
                         + [pltpu.VMEM((R, 128), jnp.int32)] * K),

@@ -112,6 +112,7 @@ def train_loop(
 
     base_rng = jax.random.key(cfg.train.seed + 1)
     start_epoch = 0
+    start_cursor = 0                 # steps already done WITHIN start_epoch
     best_bleu = -1.0
     evals_since_best = 0
     if cfg.train.resume and has_checkpoint(ckpt_dir, "last"):
@@ -119,10 +120,11 @@ def train_loop(
         if state_sh is not None:
             state = jax.device_put(state, state_sh)
         start_epoch = int(meta.get("epoch", 0))
+        start_cursor = int(meta.get("epoch_cursor", 0))
         best_bleu = float(meta.get("best_bleu", -1.0))
         evals_since_best = int(meta.get("evals_since_best", 0))
         log.log("resume", step=int(state.step), epoch=start_epoch,
-                best_bleu=best_bleu)
+                epoch_cursor=start_cursor, best_bleu=best_bleu)
 
     stop = False
     final: Dict[str, float] = {}
@@ -290,17 +292,40 @@ def train_loop(
             stop = True
         return stop
 
+    def _skip_step_rows(stream, n_skip: int):
+        """Within-epoch resume cursor (SURVEY.md §5 checkpoint spec): skip
+        the first n_skip STEP-rows of an epoch's (stacked) batch stream —
+        the batcher's per-epoch order is seed-deterministic, so skipping
+        reproduces exactly the batches the interrupted run never trained
+        on. A stack straddling the cursor is split into single-step rows."""
+        skipped = 0
+        for b in stream:
+            k = int(b["src"].shape[0]) if b["src"].ndim == 3 else 1
+            if skipped >= n_skip:
+                yield b
+            elif skipped + k <= n_skip:
+                skipped += k
+            else:
+                start = n_skip - skipped
+                skipped = n_skip
+                for i in range(start, k):
+                    yield {kk: vv[i] for kk, vv in b.items()}
+
     K_steps = K
+    epoch_cursor = 0
     try:
         for epoch in range(start_epoch, cfg.train.max_epochs):
             interrupted = False
+            skip = start_cursor if epoch == start_epoch else 0
+            epoch_cursor = skip
             if use_packed:
                 from collections import deque
 
                 meta_q: "deque" = deque()
 
-                def packed_iter(ep=epoch):
-                    for b in batcher.epoch_stacked(ep, K_steps):
+                def packed_iter(ep=epoch, n_skip=skip):
+                    for b in _skip_step_rows(
+                            batcher.epoch_stacked(ep, K_steps), n_skip):
                         buf, spec = pack_batch(b)
                         meta_q.append((spec, b))
                         yield buf
@@ -309,8 +334,9 @@ def train_loop(
             else:
                 meta_q = None
                 feed = device_prefetch(
-                    batcher.epoch_stacked(epoch, K_steps), size=2,
-                    sharding=sharding)
+                    _skip_step_rows(batcher.epoch_stacked(epoch, K_steps),
+                                    skip),
+                    size=2, sharding=sharding)
             for item in feed:
                 if use_packed:
                     spec, hb = meta_q.popleft()
@@ -326,6 +352,7 @@ def train_loop(
                 if is_multi and k <= min(rem_eval, rem_max):
                     dispatch(item, k, epoch, spec=spec, flops_src=hb)
                     host_step += k
+                    epoch_cursor += k
                     if boundary_checks(epoch):
                         interrupted = True
                         break
@@ -344,6 +371,7 @@ def train_loop(
                             row_batch = jax.tree.map(lambda a: a[i], item)
                             dispatch(row_batch, 1, epoch)
                         host_step += 1
+                        epoch_cursor += 1
                         if boundary_checks(epoch):
                             stopped = True
                             break
@@ -353,20 +381,24 @@ def train_loop(
                 else:
                     dispatch(item, 1, epoch, spec=spec, flops_src=hb)
                     host_step += 1
+                    epoch_cursor += 1
                     if boundary_checks(epoch):
                         interrupted = True
                         break
             flush_logs()
-            # A mid-epoch stop (max_steps / early stop) must record the
-            # CURRENT epoch: resume is epoch-granular, so claiming epoch+1
-            # would skip the unvisited remainder. Re-seeing some batches on
-            # resume beats never seeing them.
+            # A mid-epoch stop (max_steps / early stop) records the CURRENT
+            # epoch plus the within-epoch step cursor, so resume fast-
+            # forwards the seed-deterministic batch stream to the exact next
+            # batch (batch-exact: the step RNG folds in state.step, so a
+            # resumed run is bit-identical to an uninterrupted one —
+            # tested). Epoch-boundary saves record (epoch+1, cursor 0).
             # Routine epoch-boundary saves may be skipped while a previous
             # save is still in flight (slow links self-tune); the FINAL save
             # — stop or last epoch — always lands.
             last_epoch = epoch == cfg.train.max_epochs - 1
             ckpt.save(ckpt_dir, "last", state,
                       {"epoch": epoch if interrupted else epoch + 1,
+                       "epoch_cursor": epoch_cursor if interrupted else 0,
                        "best_bleu": best_bleu,
                        "evals_since_best": evals_since_best},
                       skip_if_busy=not (stop or last_epoch))
