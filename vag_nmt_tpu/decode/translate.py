@@ -192,7 +192,14 @@ def _translate_fused(params, cfg, examples, tgt_vocab, beam_size, max_len,
     # nb=10, S_max=8 -> ns=2, S=5, no filler), instead of padding nb up to
     # a multiple of S_max (which could decode ~60% filler).
     if nb:
-        s_max = min(max(1, 1024 // B), nb)
+        # VAG_SUPER_CHUNK: rows per super-chunk encoder pass (default 1024;
+        # "0"/"1" disables super-chunking -> one encoder pass per decode
+        # chunk). Bisect knob for the r01->r02 throughput regression
+        # (VERDICT r2 item 2).
+        import os
+
+        rows_target = int(os.environ.get("VAG_SUPER_CHUNK", "1024") or 0)
+        s_max = min(max(1, rows_target // B), nb)
         ns = -(-nb // s_max)
         S = -(-nb // ns)
     else:
