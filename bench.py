@@ -163,6 +163,16 @@ def main() -> None:
         "range_sent_per_sec": [round(runs[0], 1), round(runs[-1], 1)],
         "beam_size": 5,
         "mean_hyp_len": round(ml, 2),
+        # Realism transparency (VERDICT r2 weak #4): hypothesis-length
+        # SPREAD and the realized per-chunk while_loop trip counts — a
+        # copy-task model with matching mean but collapsed variance would
+        # overstate early-exit benefits vs a converged NMT posterior.
+        "hyp_len_std": round(float(np.std(
+            [len(h.split()) + 1 for h in hyps])), 2),
+        "chunk_trip_min_med_max": [
+            int(np.min(stats["chunk_steps"])),
+            int(np.median(stats["chunk_steps"])),
+            int(np.max(stats["chunk_steps"]))],
         "train_steps_for_eos": steps_done,
         "n_sentences": N_SENT,
         "compute_dtype": "bfloat16",

@@ -61,6 +61,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/ikea_synth")
     ap.add_argument("--train-steps", type=int, default=600)
+    ap.add_argument("--max-train-steps", type=int, default=4800,
+                    help="cap for the train-to-EOS loop (bench.py protocol: "
+                    "keep training until decode lengths reach the IKEA "
+                    "regime, so the decode number reflects realistic EOS "
+                    "behavior instead of every row running to max_len=128)")
     args = ap.parse_args()
     raw = os.path.join(args.out, "raw")
     prep = os.path.join(args.out, "prep")
@@ -102,12 +107,41 @@ def main() -> None:
     cfg = preset("ikea_vag").replace(data=dict(data_dir=prep))
     exs, src_vocab, tgt_vocab = _load_split_data(cfg, "test")
     cfg = _sized_cfg(cfg, src_vocab, tgt_vocab)
-    template = create_train_state(jax.random.key(0), cfg)
-    state, _ = load_checkpoint(os.path.join(run, "checkpoints"), "last",
-                               template)
+
+    def load_state():
+        template = create_train_state(jax.random.key(0), cfg)
+        st, _ = load_checkpoint(os.path.join(run, "checkpoints"), "last",
+                                template)
+        return st
+
+    state = load_state()
     tbl = build_img_table(exs, cfg.model.img_feat_dim)
 
-    for i in range(3):  # warm compile, then 2 timed
+    # Train-to-EOS loop (bench.py protocol; VERDICT r2 item 4): the r1/r2
+    # "298 sent/s" figure was an under-trained LOWER BOUND where worst rows
+    # ran all 128 steps. Keep training (checkpoint resume) until the mean
+    # decoded length enters the corpus regime (targets are 40-90 words ->
+    # ~45-110 BPE units incl. <eos>), so the recorded number reflects
+    # realistic attention-driven EOS placement.
+    steps = args.train_steps
+    hyps, stats = translate_corpus(state.params, cfg, exs, tgt_vocab,
+                                   beam_size=5, img_table=tbl)
+    ml = float(np.mean([len(h.split()) + 1 for h in hyps]))
+    while not (40.0 <= ml <= 115.0) and steps < args.max_train_steps:
+        steps = min(steps + 1200, args.max_train_steps)
+        dt = cli("train", "--preset", "ikea_vag", "--data-dir", prep,
+                 "--out-dir", run, "--max-steps", str(steps),
+                 "--set", "train.eval_every_steps=0",
+                 "--set", "train.resume=true")
+        print(json.dumps({"stage": "train_to_eos", "steps": steps,
+                          "seconds": round(dt, 1),
+                          "mean_hyp_len_before": round(ml, 1)}), flush=True)
+        state = load_state()
+        hyps, stats = translate_corpus(state.params, cfg, exs, tgt_vocab,
+                                       beam_size=5, img_table=tbl)
+        ml = float(np.mean([len(h.split()) + 1 for h in hyps]))
+
+    for i in range(2):  # 2 timed runs after the warm decode above
         hyps, stats = translate_corpus(state.params, cfg, exs, tgt_vocab,
                                        beam_size=5, img_table=tbl)
     refs = []
@@ -128,6 +162,12 @@ def main() -> None:
         "t_src_bucket": t_src,
         "sent_per_sec": round(stats["sentences_per_sec"], 1),
         "mean_hyp_len": round(float(np.mean([len(h.split()) for h in hyps])), 1),
+        "hyp_len_std": round(float(np.std([len(h.split()) for h in hyps])), 1),
+        "train_steps_total": steps,
+        "chunk_trip_min_med_max": [
+            int(np.min(stats["chunk_steps"])),
+            int(np.median(stats["chunk_steps"])),
+            int(np.max(stats["chunk_steps"]))],
         "bleu_after_brief_training": round(bleu.bleu, 1),
         "achieved_tflops": round(flops / stats["elapsed_s"] / 1e12, 2),
         "mfu": round(roof["mfu"], 4), "bound": roof["bound"],

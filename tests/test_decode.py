@@ -122,3 +122,19 @@ def test_fused_readout_topk_beam_matches_unfused(setup, monkeypatch):
                                   np.asarray(ref.lengths))
     np.testing.assert_allclose(np.asarray(fused.scores),
                                np.asarray(ref.scores), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("unroll", [2, 3, 8, 64])
+def test_beam_unroll_invariance(setup, unroll):
+    """Hypotheses/lengths/scores must be IDENTICAL for any unroll factor
+    (finished rows frozen; steps past max_len are exact no-ops)."""
+    params, m, state = setup
+    ref = beam_search(params, m, state, beam_size=3, max_len=12, unroll=1)
+    got = beam_search(params, m, state, beam_size=3, max_len=12,
+                      unroll=unroll)
+    np.testing.assert_array_equal(np.asarray(got.tokens),
+                                  np.asarray(ref.tokens))
+    np.testing.assert_array_equal(np.asarray(got.lengths),
+                                  np.asarray(ref.lengths))
+    np.testing.assert_allclose(np.asarray(got.scores),
+                               np.asarray(ref.scores), rtol=1e-6, atol=1e-6)

@@ -46,18 +46,36 @@ def beam_search(
     beam_size: int,
     max_len: int,
     length_norm_alpha: float = 1.0,
+    unroll: int = 0,
 ) -> BeamResult:
+    """unroll: decoder steps per while_loop iteration (0 -> env
+    VAG_BEAM_UNROLL, default 1). U>1 amortizes per-iteration loop overhead
+    (the all-finished reduction + scalar sync) over U steps at the cost of
+    up to U-1 wasted post-finish steps per chunk. Hypotheses/lengths/scores
+    are IDENTICAL for any U (finished rows are frozen; tested) — only the
+    realized trip count changes. The token buffer pads max_len up to a U
+    multiple and is sliced back."""
+    import os
+
+    if unroll <= 0:
+        unroll = max(1, int(os.environ.get("VAG_BEAM_UNROLL", "1") or 1))
+    U = min(unroll, max_len)
+    max_len_pad = -(-max_len // U) * U
     B = state.s0.shape[0]
     K = beam_size
 
     def cond(carry):
         t, _, _, _, _, finished, _ = carry
-        return (t < max_len) & ~jnp.all(finished)
+        return (t < max_len_pad) & ~jnp.all(finished)
 
     V = cfg.tgt_vocab_size
 
     def body(carry):
         t, last_tok, s, scores, tokens, finished, lengths = carry
+        # Steps past max_len exist only inside a partially-finished unroll
+        # block; freezing every row there makes them exact no-ops, so
+        # scores/lengths of never-finishing rows match the U=1 results.
+        finished = finished | (t >= max_len)
         # Fused decoder-step + candidate-scoring + top-k: finished rows are
         # forced to continue with <pad> at log-prob 0 (they ride along
         # frozen and keep competing), live rows score scores + log-softmax.
@@ -86,6 +104,14 @@ def beam_search(
         finished = fin_sel | (tok == EOS_ID)
         return (t + 1, tok, s_sel, top_scores, tokens, finished, lengths)
 
+    if U > 1:
+        body_1 = body
+
+        def body(carry):
+            for _ in range(U):
+                carry = body_1(carry)
+            return carry
+
     init = (
         jnp.asarray(0, jnp.int32),
         jnp.full((B, K), SOS_ID, jnp.int32),
@@ -94,12 +120,13 @@ def beam_search(
         # Beam 0 active, others at -inf so identical initial beams don't
         # flood the first top-k with duplicates.
         jnp.tile(jnp.asarray([0.0] + [NEG_INF] * (K - 1), jnp.float32), (B, 1)),
-        jnp.full((B, K, max_len), PAD_ID, jnp.int32),
+        jnp.full((B, K, max_len_pad), PAD_ID, jnp.int32),
         jnp.zeros((B, K), bool),
         jnp.zeros((B, K), jnp.int32),
     )
     _, _, _, scores, tokens, finished, lengths = jax.lax.while_loop(
         cond, body, init)
+    tokens = tokens[:, :, :max_len]
 
     norm = jnp.maximum(lengths, 1).astype(jnp.float32) ** length_norm_alpha
     final_scores = scores / norm
