@@ -60,7 +60,10 @@ def main() -> None:
     # dominates (128: ~12.5k, 256: ~9.9k, 64: ~10.4k sent/s).
     cfg = cfg.replace(model=dict(compute_dtype="bfloat16"),
                       decode=dict(beam_size=5, max_len=64,
-                                  decode_batch_size=128),
+                                  decode_batch_size=128,
+                                  # U=4 measured -43us/step loop overhead at
+                                  # chunk trips ~16-28 (<=3 wasted steps)
+                                  beam_unroll=4),
                       data=dict(batch_size=64))
     m = cfg.model
     rng = np.random.RandomState(0)

@@ -114,3 +114,38 @@ def test_lse_semantics():
     best = cand.reshape(4, -1).max(-1)
     np.testing.assert_allclose(np.asarray(vf)[:, 0], best, rtol=1e-5,
                                atol=1e-5)
+
+
+def test_shallow_slots_watermark_triggers_exact_fallback():
+    """Construct logits where the top-5 of one row all share a LANE (vocab
+    ids congruent mod 128): the 3-slot cascade alone would lose two of
+    them, so the watermark must flag the row and the fallback must return
+    the oracle answer anyway."""
+    B, K, V, E = 4, 5, 640, 1
+    t = jnp.ones((B * K, E), jnp.float32)
+    w = np.zeros((E, V), np.float32)           # logits = w[0] + b
+    b = np.linspace(-1.0, 0.0, V).astype(np.float32)
+    # ids 7, 135, 263, 391, 519 all live in lane 7 — give them the top vals
+    for rank, vid in enumerate([7, 135, 263, 391, 519]):
+        b[vid] = 100.0 - rank
+    w = jnp.asarray(w)
+    b = jnp.asarray(b)
+    scores = jnp.zeros((B, K), jnp.float32)
+    finished = jnp.zeros((B, K), bool)
+    vf, idxf = fused_readout_topk(t, w, b, scores, finished, impl="pallas",
+                                  slots=3)
+    vo, idxo = _oracle(t, w, b, scores, finished)
+    np.testing.assert_array_equal(np.asarray(idxf), np.asarray(idxo))
+    np.testing.assert_allclose(np.asarray(vf), np.asarray(vo),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("slots", [1, 2, 3, 4])
+def test_shallow_slots_match_oracle_random(slots):
+    t, w, b, scores, finished = _rand_case(8, 5, 1024, 64, seed=slots)
+    vf, idxf = fused_readout_topk(t, w, b, scores, finished, impl="pallas",
+                                  slots=slots)
+    vo, idxo = _oracle(t, w, b, scores, finished)
+    np.testing.assert_array_equal(np.asarray(idxf), np.asarray(idxo))
+    np.testing.assert_allclose(np.asarray(vf), np.asarray(vo),
+                               rtol=1e-5, atol=1e-5)

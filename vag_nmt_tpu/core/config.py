@@ -127,6 +127,11 @@ class DecodeConfig:
     # 128 measured best on v5e for fused corpus decode (length-sorted chunks
     # early-exit at their own max hypothesis length; see bench.py)
     decode_batch_size: int = 128
+    # Beam while_loop steps per iteration: U>1 amortizes the loop's
+    # per-iteration overhead (~43 us/step measured on v5e) over U steps at
+    # <=U-1 wasted post-finish steps per chunk; results identical for any U
+    # (decode/beam.py). U=4 wins when chunk trip counts are ~>=16.
+    beam_unroll: int = 1
 
 
 @dataclass(frozen=True)

@@ -56,3 +56,42 @@ def unpack_batch(buf: jnp.ndarray, spec: Spec) -> Dict[str, jnp.ndarray]:
         out[key] = seg.reshape(shape)
         off += n
     return out
+
+
+def pack_leaves(leaves) -> jnp.ndarray:
+    """Device side (inside jit): flatten a list of arrays to ONE 1-D uint8
+    buffer (bitcast + concat — free at runtime, XLA fuses the copies).
+    Counterpart of unpack_leaves_host. Why: each device->host fetch pays a
+    full dispatch round trip (~31 ms measured on the tunneled v5e), so a
+    program returning 3 arrays costs 3 round trips when fetched naively;
+    one packed buffer = one round trip."""
+    parts = []
+    for a in leaves:
+        if a.dtype.itemsize > 1:
+            a = jax.lax.bitcast_convert_type(a, jnp.uint8)
+        elif a.dtype == jnp.bool_:
+            a = a.astype(jnp.uint8)
+        parts.append(a.reshape(-1))
+    return jnp.concatenate(parts)
+
+
+def leaves_spec(shapes_dtypes) -> Spec:
+    """Static spec [(name-free) dtype/shape list] for unpack_leaves_host."""
+    return tuple(("", np.dtype(dt).str, tuple(sh))
+                 for dt, sh in shapes_dtypes)
+
+
+def unpack_leaves_host(buf: np.ndarray, spec: Spec):
+    """Host side: slice the fetched uint8 buffer back into arrays."""
+    out = []
+    off = 0
+    for _, dt_str, shape in spec:
+        dt = np.dtype(dt_str)
+        n = int(np.prod(shape, dtype=np.int64)) * dt.itemsize
+        out.append(np.frombuffer(
+            buf[off:off + n].tobytes(), dtype=dt).reshape(shape))
+        off += n
+    if off != buf.size:
+        raise ValueError(f"packed buffer has {buf.size} bytes, spec consumed "
+                         f"{off}")
+    return out

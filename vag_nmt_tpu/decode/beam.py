@@ -57,8 +57,11 @@ def beam_search(
     multiple and is sliced back."""
     import os
 
+    env_u = os.environ.get("VAG_BEAM_UNROLL", "")
+    if env_u:                       # env wins for A/B experiments
+        unroll = int(env_u)
     if unroll <= 0:
-        unroll = max(1, int(os.environ.get("VAG_BEAM_UNROLL", "1") or 1))
+        unroll = 1
     U = min(unroll, max_len)
     max_len_pad = -(-max_len // U) * U
     B = state.s0.shape[0]

@@ -74,7 +74,8 @@ def _make_super_one(cfg: Config, beam_size: int, max_len: int,
         else:
             res = beam_search(params, cfg.model, state,
                               beam_size=beam_size, max_len=max_len,
-                              length_norm_alpha=cfg.decode.length_norm_alpha)
+                              length_norm_alpha=cfg.decode.length_norm_alpha,
+                              unroll=cfg.decode.beam_unroll)
             steps = jnp.max(res.lengths).astype(jnp.int32)
             if nbest:
                 # full (B, K, L) hypothesis set + normalized scores,
@@ -110,7 +111,8 @@ def _make_super_one(cfg: Config, beam_size: int, max_len: int,
 
 @lru_cache(maxsize=64)
 def make_fused_corpus_fn(cfg: Config, beam_size: int, max_len: int,
-                         multimodal: bool, mesh=None, nbest: bool = False):
+                         multimodal: bool, mesh=None, nbest: bool = False,
+                         packed_spec=None):
     """ONE jitted program decoding the ENTIRE corpus: lax.map over fixed-size
     chunks of a single padded (n_super, S, B, T_src) token array, image
     features gathered on-device from a resident table. One dispatch + one
@@ -146,6 +148,23 @@ def make_fused_corpus_fn(cfg: Config, beam_size: int, max_len: int,
             return jax.lax.map(
                 lambda a: super_one(params_c, img_table, a),
                 (src, src_lens, ids))
+
+    if packed_spec is not None:
+        # One-buffer transport BOTH ways (single-device path): the corpus's
+        # (src, lens, ids) arrive as ONE uint8 buffer and unpack in-graph,
+        # and ALL outputs (tokens/lengths/steps[/scores]) leave as ONE
+        # packed uint8 buffer. Each host<->device round trip costs ~31 ms
+        # on a tunneled chip and a naive fetch of a 3-output program pays
+        # it 3 times — packing makes the whole corpus decode exactly one
+        # upload + one dispatch + one fetch (data/packing.py).
+        from vag_nmt_tpu.data.packing import pack_leaves, unpack_batch
+
+        def run_packed(params, buf, img_table):
+            b = unpack_batch(buf, packed_spec)
+            out = run(params, b["src"], b["lens"], b["ids"], img_table)
+            return pack_leaves(jax.tree.leaves(out))
+
+        return jax.jit(run_packed)
 
     if mesh is None:
         return jax.jit(run)
@@ -289,18 +308,21 @@ def _translate_fused(params, cfg, examples, tgt_vocab, beam_size, max_len,
     else:
         img_table = jnp.zeros((1, 1), jnp.float32)
 
-    # Dispatch strategy (VAG_DECODE_PIPELINE): "auto"/"on" enqueues one call
-    # PER SUPER-CHUNK against device-resident inputs — async dispatch keeps
-    # the device busy while earlier chunks' results stream back to the host,
-    # hiding most of the decode's fixed tail (upload/dispatch/fetch, ~180 ms
-    # measured on the tunneled v5e at 4096 sentences). "0"/"1"/"off" keeps
-    # the r2-era single whole-corpus dispatch (also the mesh path — sharded
-    # inputs ride the in_shardings of the one-program form).
+    # Dispatch strategy (VAG_DECODE_PIPELINE): "on" enqueues one call PER
+    # SUPER-CHUNK against device-resident inputs — async dispatch keeps the
+    # device busy while earlier chunks' results stream back to the host,
+    # overlapping fetch/detok with compute. On LOCAL TPU hosts (per-dispatch
+    # cost ~tens of us) this hides most of the decode's fixed tail; on THIS
+    # repo's tunneled chip each enqueue pays ~15 ms serialized round-trip,
+    # so 16 enqueues measured +220 ms vs the single whole-corpus dispatch
+    # (430 vs 210 ms at max_len=2, 4096 sentences) — default therefore OFF
+    # here; flip it on for locally-attached hardware. The mesh path always
+    # uses the one-program form (sharded inputs ride its in_shardings).
     import os
 
-    pipe_env = os.environ.get("VAG_DECODE_PIPELINE", "auto")
+    pipe_env = os.environ.get("VAG_DECODE_PIPELINE", "off")
     use_pipe = (mesh is None and ns > 1
-                and pipe_env not in ("0", "1", "off"))
+                and pipe_env in ("on", "auto", "pipe"))
     t0 = time.perf_counter()
     if use_pipe:
         run1 = make_fused_superchunk_fn(cfg, beam_size, max_len, multimodal,
@@ -315,6 +337,37 @@ def _translate_fused(params, cfg, examples, tgt_vocab, beam_size, max_len,
                    for o in outs]          # in order: fetch i overlaps i+1..
         out = tuple(np.concatenate([f[j] for f in fetched])
                     for j in range(len(fetched[0])))
+    elif mesh is None:
+        # one-buffer transport both ways (see make_fused_corpus_fn)
+        from vag_nmt_tpu.data.packing import (
+            leaves_spec,
+            pack_batch,
+            unpack_leaves_host,
+        )
+
+        buf, spec = pack_batch({
+            "src": src.reshape(ns, S, B, t_src),
+            "lens": lens_in.reshape(ns, S, B),
+            "ids": ids.reshape(ns, S, B),
+        })
+        run = make_fused_corpus_fn(cfg, beam_size, max_len, multimodal, None,
+                                   nbest=bool(nbest), packed_spec=spec)
+        raw = run(params, jax.device_put(buf), img_table)
+        if nbest:
+            out_spec = leaves_spec([
+                (np.uint16, (ns, S, B, beam_size, max_len)),
+                (np.int32, (ns, S, B, beam_size)),
+                (np.float32, (ns, S, B, beam_size)),
+                (np.int32, (ns, S)),
+            ])
+        else:
+            out_spec = leaves_spec([
+                (np.uint16, (ns, S, B, max_len)),
+                (np.int32, (ns, S, B)),
+                (np.int32, (ns, S)),
+            ])
+        out = tuple(unpack_leaves_host(np.asarray(jax.device_get(raw)),
+                                       out_spec))
     else:
         run = make_fused_corpus_fn(cfg, beam_size, max_len, multimodal, mesh,
                                    nbest=bool(nbest))
