@@ -58,12 +58,13 @@ def main() -> None:
     # while_loop at the chunk's own max hypothesis length, and smaller
     # (length-sorted) chunks finish sooner; below 128 per-chunk fixed cost
     # dominates (128: ~12.5k, 256: ~9.9k, 64: ~10.4k sent/s).
+    # beam_unroll stays 1: U=4 won on the pre-packed-IO kernel (-43us/step)
+    # but LOSES with the slots-3 watermark kernel in the loop (348 vs 243 ms
+    # at 640 steps — the unrolled body's 4 cond+kernel pairs schedule worse
+    # than 4 separate iterations; /tmp combo A/B 2026-08-17).
     cfg = cfg.replace(model=dict(compute_dtype="bfloat16"),
                       decode=dict(beam_size=5, max_len=64,
-                                  decode_batch_size=128,
-                                  # U=4 measured -43us/step loop overhead at
-                                  # chunk trips ~16-28 (<=3 wasted steps)
-                                  beam_unroll=4),
+                                  decode_batch_size=128),
                       data=dict(batch_size=64))
     m = cfg.model
     rng = np.random.RandomState(0)

@@ -64,7 +64,13 @@ _DE_PREFIXES = (
     Abb Abk Abs Abt Ausg Bd Bsp Bspw Dez Dipl Dr Fa Fam Feb Fr Frl Hbf Hr
     Hrn Ing Jan Jh Jhd Jr Jul Jun Mag Mär Mio Mrd Mrz Nov Nr Okt Prof Sep
     Sept St Str Tel Univ usw bzw bzgl ca dgl ebd eigtl etc evtl geb gegr
-    ggf ggfs hrsg inkl insb o s u v vgl vllt vlt z zb zzgl""".split())
+    ggf ggfs hrsg inkl insb o s u v vgl vllt vlt z zb zzgl
+    Apr Aug Bhf Bf Di Do Mi Mo Sa So Fre Frau Herrn Hrsg Dez Jän
+    Mill Min Max Nov Sekt Wwe a d e f g h i j k l m n p q r t w x y
+    al betr bspw bzw ca dh dgl dt ev evtl frz geb gem ggf hins hrsg
+    incl jew kath lt luth max min mind mtl natürl od orth östr pp prot
+    rd röm s schles schwäb schweiz sog sogen spez srb süd tägl usf va
+    verh verw vorm wiss zB zT zit zzt""".split())
 _DE_NUMERIC = "Nr Nos Art pp ca".split()
 
 _FR_PREFIXES = (

@@ -305,6 +305,11 @@ def fused_readout_topk(
     rvals, ridx, lse, viol = call_kernel(sk)
     if sk >= K:
         return _combine(rvals, ridx, lse, scores32, finished, V, pad_id)
+    if os.environ.get("VAG_FRT_NOCOND", "") == "1":
+        # BENCH-ONLY: skip the exactness fallback to measure the lax.cond's
+        # per-step cost in context. NOT exact (P ~2e-6/row of a wrong
+        # candidate) — never enable for scoring runs.
+        return _combine(rvals, ridx, lse, scores32, finished, V, pad_id)
 
     def fast(_):
         return _combine(rvals, ridx, lse, scores32, finished, V, pad_id)
