@@ -63,7 +63,7 @@ def capture(out_dir: str):
 def analyze(out_dir: str):
     """Parse the newest xplane.pb with tensorflow's profiler proto and sum
     device-stream op durations + any bytes-accessed stats."""
-    from tensorflow.core.profiler.protobuf import xplane_pb2
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     paths = sorted(glob.glob(os.path.join(
         out_dir, "plugins/profile/*/*.xplane.pb")), key=os.path.getmtime)
@@ -79,7 +79,6 @@ def analyze(out_dir: str):
 
     result = {"planes": []}
     for plane in xs.planes:
-        stat_names = {i: s.name for i, s in enumerate(plane.stat_metadata)}
         stat_names = {k: v.name for k, v in plane.stat_metadata.items()}
         ev_names = {k: v.name for k, v in plane.event_metadata.items()}
         total_dur = 0
