@@ -190,10 +190,62 @@ def main():
             return s, tokens, scores
         return run
 
+    def case_gru1(n):
+        # embed + GRU1 x-gates + cell only
+        @jax.jit
+        def run(s, scores, tokens):
+            def body(t, carry):
+                s, acc = carry
+                tok = tok0 + (t % 2)
+                y = embed(dp["embed"], tok.reshape(-1)).astype(ctx.dtype)
+                xg1 = gru_gates_from_x(dp["gru1"], y)
+                s_tilde = gru_cell_from_xgates(dp["gru1"], xg1,
+                                               s.reshape(B * K, H))
+                return (s_tilde.reshape(B, K, H),
+                        acc + s_tilde.reshape(B, K, -1)[:, :, 0] * 1e-9)
+            s, acc = jax.lax.fori_loop(0, n, body, (s, scores))
+            return s, acc
+        return run
+
+    def case_attn(n):
+        # Bahdanau attention over the beam axis only (fixed query carry)
+        @jax.jit
+        def run(s, scores, tokens):
+            def body(t, carry):
+                s, acc = carry
+                c, _ = bahdanau_attend_beams(
+                    dp["attn"], s.astype(ctx.dtype), ctx, ctx_proj, src_mask)
+                return (s * 0.99 + c[..., :H].astype(s.dtype) * 0.01,
+                        acc + c[:, :, 0] * 1e-9)
+            s, acc = jax.lax.fori_loop(0, n, body, (s, scores))
+            return s, acc
+        return run
+
+    def case_gru2(n):
+        # GRU2 x-gates from a (B*K, C) context + cell
+        c0 = jnp.asarray(rng.randn(B * K, m.ctx_dim), jnp.bfloat16)
+
+        @jax.jit
+        def run(s, scores, tokens):
+            def body(t, carry):
+                s, acc = carry
+                cc = c0 + s.reshape(B * K, H)[:, :1].astype(c0.dtype) * 1e-9
+                s_new = gru_cell_from_xgates(
+                    dp["gru2"], gru_gates_from_x(dp["gru2"], cc),
+                    s.reshape(B * K, H))
+                return (s_new.reshape(B, K, H),
+                        acc + s_new.reshape(B, K, -1)[:, :, 0] * 1e-9)
+            s, acc = jax.lax.fori_loop(0, n, body, (s, scores))
+            return s, acc
+        return run
+
     cases = [
         ("A_full_body", case_full),
         ("B_step_with_logits", case_step_logits),
         ("C_step_no_vocab_gemm", case_step_nov),
+        ("C1_embed_gru1", case_gru1),
+        ("C2_attention", case_attn),
+        ("C3_gru2", case_gru2),
         ("D_beam_topk", case_topk),
         ("F_gathers", case_gathers),
     ]

@@ -400,3 +400,31 @@ def test_incremental_bpe_learner_matches_naive_rescan():
                  for _ in range(200)]
         freqs = Counter(rng.choice(types) for _ in range(3000))
         assert learn_bpe(dict(freqs), 150) == naive(dict(freqs), 150)
+
+
+def test_pack_leaves_roundtrip():
+    """Device-side output packing (one-fetch transport) must reproduce every
+    leaf bit-for-bit through the uint8 buffer."""
+    import jax.numpy as jnp
+
+    from vag_nmt_tpu.data.packing import (
+        leaves_spec,
+        pack_leaves,
+        unpack_leaves_host,
+    )
+
+    rng = np.random.RandomState(0)
+    leaves = [
+        rng.randint(0, 60000, (3, 5, 7)).astype(np.uint16),
+        rng.randint(-2**31, 2**31 - 1, (4, 2)).astype(np.int32),
+        rng.randn(2, 3).astype(np.float32),
+    ]
+    buf = np.asarray(pack_leaves([jnp.asarray(a) for a in leaves]))
+    assert buf.dtype == np.uint8 and buf.ndim == 1
+    spec = leaves_spec([(a.dtype, a.shape) for a in leaves])
+    out = unpack_leaves_host(buf, spec)
+    for a, b in zip(leaves, out):
+        np.testing.assert_array_equal(a, b)
+
+    with pytest.raises(ValueError, match="consumed"):
+        unpack_leaves_host(buf[:-1], spec)

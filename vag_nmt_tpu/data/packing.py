@@ -83,6 +83,11 @@ def leaves_spec(shapes_dtypes) -> Spec:
 
 def unpack_leaves_host(buf: np.ndarray, spec: Spec):
     """Host side: slice the fetched uint8 buffer back into arrays."""
+    total = sum(int(np.prod(shape, dtype=np.int64)) * np.dtype(dt).itemsize
+                for _, dt, shape in spec)
+    if total != buf.size:
+        raise ValueError(f"packed buffer has {buf.size} bytes, spec consumed "
+                         f"{total}")
     out = []
     off = 0
     for _, dt_str, shape in spec:
@@ -91,7 +96,4 @@ def unpack_leaves_host(buf: np.ndarray, spec: Spec):
         out.append(np.frombuffer(
             buf[off:off + n].tobytes(), dtype=dt).reshape(shape))
         off += n
-    if off != buf.size:
-        raise ValueError(f"packed buffer has {buf.size} bytes, spec consumed "
-                         f"{off}")
     return out

@@ -1,9 +1,14 @@
-"""Corpus translation: bucketed batches -> on-device decode -> text
-(SURVEY.md §3.2 'translate' surface).
+"""Corpus translation: on-device beam decode -> text (SURVEY.md §3.2
+'translate' surface).
 
-Keeps a small fixed set of batch shapes (one compile per bucket shape),
-restores corpus order via the per-row index, de-BPEs hypotheses, and reports
-throughput (sentences/sec) with a device fence."""
+Default path (fused): the WHOLE corpus decodes as exactly one host->device
+upload (all inputs packed into one uint8 buffer), ONE jitted dispatch
+(lax.map over length-sorted fixed-size chunks with super-chunked encoding),
+and one device->host fetch (all outputs packed device-side) — each
+host<->device round trip costs ~31 ms on a tunneled chip, and this path
+pays the minimum possible number of them. Corpus order is restored via the
+per-row index; hypotheses are de-BPE'd host-side. A bucketed per-batch
+path (fused=False) remains for streaming/debug use."""
 
 from __future__ import annotations
 
