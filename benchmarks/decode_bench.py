@@ -239,6 +239,45 @@ def main():
             return s, acc
         return run
 
+    def make_case_prod(tables):
+        # PRODUCTION beam-loop body: decode_step_topk(impl="fused") + the
+        # beam gathers + token write — everything the while_loop body does
+        # except the cond. `tables` None/dict A/Bs the per-vocab
+        # gate/readout tables (decoder.decode_tables).
+        from vag_nmt_tpu.models.model import decode_step_topk
+
+        def case_prod(n):
+            @jax.jit
+            def run(s, scores, tokens):
+                def body(t, carry):
+                    tok, s, scores, tokens = carry
+                    top_scores, idx = None, None
+                    s_new, top_scores, idx = decode_step_topk(
+                        params, m, tok, s, state, scores, finished0,
+                        impl="fused", tables=tables)
+                    beam_idx = idx // V
+                    tokn = (idx % V).astype(jnp.int32)
+
+                    def sel(x):
+                        return jnp.take_along_axis(
+                            x, beam_idx.reshape(
+                                beam_idx.shape + (1,) * (x.ndim - 2)),
+                            axis=1)
+
+                    s_sel = sel(s_new)
+                    tokens = sel(tokens)
+                    tokens = tokens.at[:, :, t % 64].set(tokn)
+                    return tokn, s_sel, top_scores, tokens
+                tok, s, scores, tokens = jax.lax.fori_loop(
+                    0, n, body, (tok0, s, scores, tokens))
+                return s, scores, tokens
+            return run
+        return case_prod
+
+    from vag_nmt_tpu.models.decoder import decode_tables
+
+    tables0 = decode_tables(params["decoder"])
+
     cases = [
         ("A_full_body", case_full),
         ("B_step_with_logits", case_step_logits),
@@ -248,6 +287,8 @@ def main():
         ("C3_gru2", case_gru2),
         ("D_beam_topk", case_topk),
         ("F_gathers", case_gathers),
+        ("P_prod_body", make_case_prod(None)),
+        ("Pt_prod_body_tabled", make_case_prod(tables0)),
     ]
     try:
         from vag_nmt_tpu.ops.pallas_readout_topk import fused_readout_topk

@@ -66,23 +66,29 @@ def main() -> None:
                     "keep training until decode lengths reach the IKEA "
                     "regime, so the decode number reflects realistic EOS "
                     "behavior instead of every row running to max_len=128)")
+    ap.add_argument("--resume-at", type=int, default=0,
+                    help="resume an interrupted run: skip corpus generation, "
+                    "preprocess, and the initial train stage, and enter the "
+                    "train-to-EOS loop with this many steps already trained "
+                    "(the checkpoint under --out/run must exist)")
     args = ap.parse_args()
     raw = os.path.join(args.out, "raw")
     prep = os.path.join(args.out, "prep")
     run = os.path.join(args.out, "run")
 
-    gen_raw(raw)
-    dt = cli("preprocess", "--raw-dir", raw, "--out-dir", prep,
-             "--langs", "en,de", "--splits", "train,val,test",
-             "--bpe-merges", "16000")
-    print(json.dumps({"stage": "preprocess", "merges": 16000,
-                      "seconds": round(dt, 1)}), flush=True)
+    if not args.resume_at:
+        gen_raw(raw)
+        dt = cli("preprocess", "--raw-dir", raw, "--out-dir", prep,
+                 "--langs", "en,de", "--splits", "train,val,test",
+                 "--bpe-merges", "16000")
+        print(json.dumps({"stage": "preprocess", "merges": 16000,
+                          "seconds": round(dt, 1)}), flush=True)
 
-    dt = cli("train", "--preset", "ikea_vag", "--data-dir", prep,
-             "--out-dir", run, "--max-steps", str(args.train_steps),
-             "--set", "train.eval_every_steps=0")
-    print(json.dumps({"stage": "train", "steps": args.train_steps,
-                      "seconds": round(dt, 1)}), flush=True)
+        dt = cli("train", "--preset", "ikea_vag", "--data-dir", prep,
+                 "--out-dir", run, "--max-steps", str(args.train_steps),
+                 "--set", "train.eval_every_steps=0")
+        print(json.dumps({"stage": "train", "steps": args.train_steps,
+                          "seconds": round(dt, 1)}), flush=True)
 
     # fused beam-5 decode at IKEA shapes, in-process for the stats dict
     try:
@@ -123,7 +129,7 @@ def main() -> None:
     # decoded length enters the corpus regime (targets are 40-90 words ->
     # ~45-110 BPE units incl. <eos>), so the recorded number reflects
     # realistic attention-driven EOS placement.
-    steps = args.train_steps
+    steps = args.resume_at or args.train_steps
     hyps, stats = translate_corpus(state.params, cfg, exs, tgt_vocab,
                                    beam_size=5, img_table=tbl)
     ml = float(np.mean([len(h.split()) + 1 for h in hyps]))

@@ -138,3 +138,33 @@ def test_beam_unroll_invariance(setup, unroll):
                                   np.asarray(ref.lengths))
     np.testing.assert_allclose(np.asarray(got.scores),
                                np.asarray(ref.scores), rtol=1e-6, atol=1e-6)
+
+
+def test_token_tables_beam_and_greedy_match_untabled(setup):
+    """decode_tables turns the per-step embed->matmul chains into gathers;
+    the table entries are the SAME f32 matmul outputs computed over the
+    whole vocab at once, so beam/greedy results must match the untabled
+    path (hypotheses/lengths exactly; scores to fp noise)."""
+    params, m, state = setup
+    from vag_nmt_tpu.models.decoder import decode_tables
+
+    tables = decode_tables(params["decoder"])
+    assert tables["xg1"].shape == (m.tgt_vocab_size,
+                                   3 * m.dec_hidden_dim)
+    assert tables["ty"].shape[0] == m.tgt_vocab_size
+
+    res = beam_search(params, m, state, beam_size=4, max_len=12)
+    res_t = beam_search(params, m, state, beam_size=4, max_len=12,
+                        tables=tables)
+    np.testing.assert_array_equal(np.asarray(res_t.tokens),
+                                  np.asarray(res.tokens))
+    np.testing.assert_array_equal(np.asarray(res_t.lengths),
+                                  np.asarray(res.lengths))
+    np.testing.assert_allclose(np.asarray(res_t.scores),
+                               np.asarray(res.scores), atol=1e-5)
+
+    g_toks, g_lens = greedy_decode(params, m, state, max_len=12)
+    t_toks, t_lens = greedy_decode(params, m, state, max_len=12,
+                                   tables=tables)
+    np.testing.assert_array_equal(np.asarray(t_toks), np.asarray(g_toks))
+    np.testing.assert_array_equal(np.asarray(t_lens), np.asarray(g_lens))

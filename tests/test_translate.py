@@ -216,3 +216,18 @@ def test_tp_mesh_decode_matches_single_device(setup):
     h_tp, _ = translate_corpus(params_tp, cfg, examples, vocab, fused=True,
                                mesh=mesh)
     assert h_tp == h_1
+
+
+def test_token_tables_fused_corpus_matches(setup, monkeypatch):
+    """VAG_TOKEN_TABLES=on (the TPU default; per-vocab gate/readout tables
+    gathered per step) must produce the same hypotheses as the untabled
+    path through the REAL fused corpus program, beam and greedy."""
+    cfg, params, examples, vocab = setup
+    for beam in (3, 1):
+        monkeypatch.setenv("VAG_TOKEN_TABLES", "off")
+        h_off, _ = translate_corpus(params, cfg, examples, vocab,
+                                    beam_size=beam)
+        monkeypatch.setenv("VAG_TOKEN_TABLES", "on")
+        h_on, _ = translate_corpus(params, cfg, examples, vocab,
+                                   beam_size=beam)
+        assert h_on == h_off

@@ -47,8 +47,13 @@ def beam_search(
     max_len: int,
     length_norm_alpha: float = 1.0,
     unroll: int = 0,
+    tables=None,
 ) -> BeamResult:
-    """unroll: decoder steps per while_loop iteration (0 -> env
+    """tables: optional per-vocab gate/readout tables
+    (models.decoder.decode_tables) — loop-invariant, computed once per
+    decode dispatch; turns the per-step embed->matmul chains into gathers.
+
+    unroll: decoder steps per while_loop iteration (0 -> env
     VAG_BEAM_UNROLL, default 1). U>1 amortizes per-iteration loop overhead
     (the all-finished reduction + scalar sync) over U steps at the cost of
     up to U-1 wasted post-finish steps per chunk. Hypotheses/lengths/scores
@@ -88,7 +93,8 @@ def beam_search(
         # VAG_READOUT_TOPK / VAG_TOPK_IMPL override — see the module docs
         # for measured comparisons).
         s_new, top_scores, idx = decode_step_topk(
-            params, cfg, last_tok, s, state, scores, finished)
+            params, cfg, last_tok, s, state, scores, finished,
+            tables=tables)
         beam_idx = idx // V
         tok = (idx % V).astype(jnp.int32)
 

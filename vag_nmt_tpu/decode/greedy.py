@@ -19,14 +19,17 @@ def greedy_decode(
     cfg: ModelConfig,
     state: DecodeState,
     max_len: int,
+    tables=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns (tokens (B, max_len) int32 padded with PAD, lengths (B,) incl EOS)."""
+    """Returns (tokens (B, max_len) int32 padded with PAD, lengths (B,) incl EOS).
+    tables: optional per-vocab gate/readout tables (decoder.decode_tables)."""
     B = state.s0.shape[0]
 
     def step(carry, _):
         tok, s, finished, length = carry
         # K=1 beam axis; encoder state stays per-sentence
-        s_new, logits = decode_step(params, cfg, tok[:, None], s, state)
+        s_new, logits = decode_step(params, cfg, tok[:, None], s, state,
+                                    tables)
         nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
         nxt = jnp.where(finished, PAD_ID, nxt)
         now_finished = finished | (nxt == EOS_ID)

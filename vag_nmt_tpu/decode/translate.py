@@ -29,16 +29,36 @@ from vag_nmt_tpu.data.vocab import Vocab
 from vag_nmt_tpu.decode.beam import beam_search
 from vag_nmt_tpu.decode.greedy import greedy_decode
 from vag_nmt_tpu.models import prepare_decode
+from vag_nmt_tpu.models.decoder import decode_tables
 from vag_nmt_tpu.utils.pytree import cast_floats
 
 
+def _use_tables() -> bool:
+    """Per-vocab gate/readout decode tables (decoder.decode_tables): default
+    ON for TPU decode (the per-step embed->matmul chain measured ~60 us/step
+    standalone at flagship shapes), OFF elsewhere — the CPU/interpret paths
+    keep the untabled op order that the fixed-seed goldens pin. Env
+    VAG_TOKEN_TABLES=on/off overrides (A/B + parity tests)."""
+    import os
+
+    v = os.environ.get("VAG_TOKEN_TABLES", "")
+    if v in ("on", "1"):
+        return True
+    if v in ("off", "0"):
+        return False
+    return jax.default_backend() == "tpu"
+
+
 @lru_cache(maxsize=64)
-def make_decode_fn(cfg: Config, beam_size: int, max_len: int):
+def make_decode_fn(cfg: Config, beam_size: int, max_len: int,
+                   use_tables: bool = False):
     """One jitted program: encode + ground + init + full decode loop.
 
-    Cached on (cfg, beam, max_len): jit compile caches live on the function
-    object, so rebuilding this closure per translate_corpus call would
-    recompile every bucket shape (~4.5s each on the tunneled TPU)."""
+    Cached on (cfg, beam, max_len, use_tables): jit compile caches live on
+    the function object, so rebuilding this closure per translate_corpus
+    call would recompile every bucket shape (~4.5s each on the tunneled
+    TPU). `use_tables` is an explicit key (not read from the env inside)
+    so VAG_TOKEN_TABLES A/B flips don't hit a stale cached program."""
 
     @partial(jax.jit, static_argnames=())
     def decode(params, batch, img_table=None):
@@ -51,12 +71,15 @@ def make_decode_fn(cfg: Config, beam_size: int, max_len: int):
             batch = dict(batch)
             batch["img"] = jnp.take(img_table, batch.pop("img_ids"), axis=0)
         state = prepare_decode(params, cfg.model, batch)
+        tables = decode_tables(params["decoder"]) if use_tables else None
         if beam_size <= 1:
-            toks, lens = greedy_decode(params, cfg.model, state, max_len)
+            toks, lens = greedy_decode(params, cfg.model, state, max_len,
+                                       tables=tables)
             return toks, lens
         res = beam_search(params, cfg.model, state, beam_size=beam_size,
                           max_len=max_len,
-                          length_norm_alpha=cfg.decode.length_norm_alpha)
+                          length_norm_alpha=cfg.decode.length_norm_alpha,
+                          tables=tables)
         return res.best_tokens, res.best_lengths
 
     return decode
@@ -65,8 +88,11 @@ def make_decode_fn(cfg: Config, beam_size: int, max_len: int):
 def _make_super_one(cfg: Config, beam_size: int, max_len: int,
                     multimodal: bool, nbest: bool):
     """Builds the per-super-chunk decode body shared by the single-dispatch
-    corpus program and the pipelined per-chunk program."""
-    def _beam_one(params, state):
+    corpus program and the pipelined per-chunk program. `tables` (per-vocab
+    decode tables, or None) is computed ONCE per jitted program by the
+    caller and threaded through — recomputing it inside the lax.map body
+    would redo its (V, E) matmuls every super-chunk."""
+    def _beam_one(params, state, tables):
         # `steps` is the chunk's REALIZED while_loop trip count — the
         # loop runs until the LAST of the B*K hypotheses finishes, i.e.
         # max over ALL beams of the emitted length (a beam's length at
@@ -74,13 +100,15 @@ def _make_super_one(cfg: Config, beam_size: int, max_len: int,
         # never-finished beam reaches max_len in max_len trips). Feeds
         # the MFU/roofline accounting in bench.py.
         if beam_size <= 1:
-            toks, lens = greedy_decode(params, cfg.model, state, max_len)
+            toks, lens = greedy_decode(params, cfg.model, state, max_len,
+                                       tables=tables)
             steps = jnp.max(lens).astype(jnp.int32)
         else:
             res = beam_search(params, cfg.model, state,
                               beam_size=beam_size, max_len=max_len,
                               length_norm_alpha=cfg.decode.length_norm_alpha,
-                              unroll=cfg.decode.beam_unroll)
+                              unroll=cfg.decode.beam_unroll,
+                              tables=tables)
             steps = jnp.max(res.lengths).astype(jnp.int32)
             if nbest:
                 # full (B, K, L) hypothesis set + normalized scores,
@@ -93,7 +121,7 @@ def _make_super_one(cfg: Config, beam_size: int, max_len: int,
         # ~13 MB/s measured); BPE vocabs are always < 65536.
         return toks.astype(jnp.uint16), lens.astype(jnp.int32), steps
 
-    def super_one(params, img_table, args):
+    def super_one(params, img_table, tables, args):
         s16, lens, chunk_ids = args          # (S, B, T), (S, B), (S, B)
         S, B, T = s16.shape
         # ONE encoder pass over all S*B rows; src travels uint16 (half
@@ -108,7 +136,7 @@ def _make_super_one(cfg: Config, beam_size: int, max_len: int,
         state = prepare_decode(params, cfg.model, batch)
         state_chunks = jax.tree.map(
             lambda a: a.reshape((S, B) + a.shape[1:]), state)
-        return jax.lax.map(lambda st: _beam_one(params, st),
+        return jax.lax.map(lambda st: _beam_one(params, st, tables),
                            state_chunks)
 
     return super_one
@@ -117,7 +145,7 @@ def _make_super_one(cfg: Config, beam_size: int, max_len: int,
 @lru_cache(maxsize=64)
 def make_fused_corpus_fn(cfg: Config, beam_size: int, max_len: int,
                          multimodal: bool, mesh=None, nbest: bool = False,
-                         packed_spec=None):
+                         packed_spec=None, use_tables: bool = False):
     """ONE jitted program decoding the ENTIRE corpus: lax.map over fixed-size
     chunks of a single padded (n_super, S, B, T_src) token array, image
     features gathered on-device from a resident table. One dispatch + one
@@ -150,8 +178,10 @@ def make_fused_corpus_fn(cfg: Config, beam_size: int, max_len: int,
                 params_c = cast_floats(params, jnp.bfloat16)
             else:
                 params_c = params
+            tables = (decode_tables(params_c["decoder"]) if use_tables
+                      else None)
             return jax.lax.map(
-                lambda a: super_one(params_c, img_table, a),
+                lambda a: super_one(params_c, img_table, tables, a),
                 (src, src_lens, ids))
 
     if packed_spec is not None:
@@ -194,7 +224,8 @@ def make_fused_corpus_fn(cfg: Config, beam_size: int, max_len: int,
 
 @lru_cache(maxsize=64)
 def make_fused_superchunk_fn(cfg: Config, beam_size: int, max_len: int,
-                             multimodal: bool, nbest: bool = False):
+                             multimodal: bool, nbest: bool = False,
+                             use_tables: bool = False):
     """Pipelined variant: one jitted program PER SUPER-CHUNK ((S, B, T) in,
     chunk results out). The caller keeps the whole corpus device-resident,
     enqueues all chunk calls back-to-back (async dispatch), and fetches
@@ -209,7 +240,8 @@ def make_fused_superchunk_fn(cfg: Config, beam_size: int, max_len: int,
     def run1(params, s16, lens, chunk_ids, img_table):
         if cfg.model.compute_dtype == "bfloat16":
             params = cast_floats(params, jnp.bfloat16)
-        return super_one(params, img_table, (s16, lens, chunk_ids))
+        tables = decode_tables(params["decoder"]) if use_tables else None
+        return super_one(params, img_table, tables, (s16, lens, chunk_ids))
 
     return run1
 
@@ -328,10 +360,12 @@ def _translate_fused(params, cfg, examples, tgt_vocab, beam_size, max_len,
     pipe_env = os.environ.get("VAG_DECODE_PIPELINE", "off")
     use_pipe = (mesh is None and ns > 1
                 and pipe_env in ("on", "auto", "pipe"))
+    use_tab = _use_tables()
     t0 = time.perf_counter()
     if use_pipe:
         run1 = make_fused_superchunk_fn(cfg, beam_size, max_len, multimodal,
-                                        nbest=bool(nbest))
+                                        nbest=bool(nbest),
+                                        use_tables=use_tab)
         src_d = jax.device_put(src.reshape(ns, S, B, t_src))
         lens_d = jax.device_put(lens_in.reshape(ns, S, B))
         ids_d = jax.device_put(ids.reshape(ns, S, B))
@@ -356,7 +390,8 @@ def _translate_fused(params, cfg, examples, tgt_vocab, beam_size, max_len,
             "ids": ids.reshape(ns, S, B),
         })
         run = make_fused_corpus_fn(cfg, beam_size, max_len, multimodal, None,
-                                   nbest=bool(nbest), packed_spec=spec)
+                                   nbest=bool(nbest), packed_spec=spec,
+                                   use_tables=use_tab)
         raw = run(params, jax.device_put(buf), img_table)
         if nbest:
             out_spec = leaves_spec([
@@ -375,7 +410,7 @@ def _translate_fused(params, cfg, examples, tgt_vocab, beam_size, max_len,
                                        out_spec))
     else:
         run = make_fused_corpus_fn(cfg, beam_size, max_len, multimodal, mesh,
-                                   nbest=bool(nbest))
+                                   nbest=bool(nbest), use_tables=use_tab)
         raw = run(
             params,
             jax.device_put(src.reshape(ns, S, B, t_src)),
@@ -509,7 +544,7 @@ def translate_corpus(
     batcher = BucketBatcher(
         positioned, batch_size, cfg.data.length_buckets,
         image_ids=use_table, img_dim=cfg.model.img_feat_dim)
-    decode = make_decode_fn(cfg, beam_size, max_len)
+    decode = make_decode_fn(cfg, beam_size, max_len, _use_tables())
 
     n = len(examples)
     hyps: List[Optional[str]] = [None] * n

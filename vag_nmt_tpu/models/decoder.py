@@ -64,6 +64,52 @@ def _out_matrix(params: Dict[str, Any], cfg: ModelConfig) -> jnp.ndarray:
     return params["readout"]["w_out"]
 
 
+def decode_tables(params: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
+    """Per-vocab decode tables (TPU decode fast path).
+
+    In the beam/greedy hot loop, GRU1's input gates and the readout's
+    y-term depend ONLY on the previous token id: both are `embed[tok]`
+    pushed through a fixed matmul. Precomputing them over the WHOLE vocab
+    once per decode dispatch — (V, E) x (E, 3H) and (V, E) x (E, R), a few
+    GFLOP amortized over every step of every chunk — turns the per-step
+    embed-gather -> matmul chains into single row gathers (measured: the
+    embed+GRU1-gates chain alone was ~60 us/step standalone at flagship
+    decode shapes, benchmarks/decode_bench.py C1). fp32 tables: these are
+    exactly the `preferred_element_type=f32` matmul outputs the per-step
+    path produces, so results match the untabled path (parity-tested).
+
+    Returns {"xg1": (V, 3H) f32 = embed @ wi1 + bi1,
+             "ty":  (V, R)  f32 = embed @ wy}.
+    Pass to decode_step_beams/_readout via `tables=`; beam_search /
+    greedy_decode / translate thread it through. ~(V * (3H + R) * 4) bytes
+    of HBM per decode program (e.g. 49+8 MB at V=8000, H=512, R=256)."""
+    emb = params["embed"]["table"]
+    return {
+        "xg1": gru_gates_from_x(params["gru1"], emb),
+        "ty": jnp.dot(emb, params["readout"]["wy"],
+                      preferred_element_type=jnp.float32),
+    }
+
+
+def _readout_t(
+    params: Dict[str, Any],
+    ty: jnp.ndarray,         # (N, R) f32 precomputed y-term (y_emb @ wy)
+    s_new: jnp.ndarray,      # (N, H)
+    c: jnp.ndarray,          # (N, C)
+    readout_drop_mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    r = params["readout"]
+    t = jnp.tanh(
+        ty
+        + jnp.dot(s_new, r["ws"], preferred_element_type=jnp.float32)
+        + jnp.dot(c, r["wc"], preferred_element_type=jnp.float32)
+        + r["b"]
+    )
+    if readout_drop_mask is not None:
+        t = t * readout_drop_mask
+    return t
+
+
 def _readout_logits(
     params: Dict[str, Any],
     cfg: ModelConfig,
@@ -73,14 +119,8 @@ def _readout_logits(
     readout_drop_mask: Optional[jnp.ndarray],
 ) -> jnp.ndarray:
     r = params["readout"]
-    t = jnp.tanh(
-        jnp.dot(y_emb, r["wy"], preferred_element_type=jnp.float32)
-        + jnp.dot(s_new, r["ws"], preferred_element_type=jnp.float32)
-        + jnp.dot(c, r["wc"], preferred_element_type=jnp.float32)
-        + r["b"]
-    )
-    if readout_drop_mask is not None:
-        t = t * readout_drop_mask
+    ty = jnp.dot(y_emb, r["wy"], preferred_element_type=jnp.float32)
+    t = _readout_t(params, ty, s_new, c, readout_drop_mask)
     logits = (
         jnp.dot(t.astype(c.dtype), _out_matrix(params, cfg),
                 preferred_element_type=jnp.float32)
@@ -116,20 +156,33 @@ def _beams_step_core(
     ctx: jnp.ndarray,
     ctx_proj: jnp.ndarray,
     src_mask: jnp.ndarray,
+    tables: Optional[Dict[str, jnp.ndarray]] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Shared GRU1 -> attention -> GRU2 body of a beam decoder step.
-    Returns (s_new (B*K, H), y_emb (B*K, E), c_flat (B*K, C), attn)."""
+
+    tables (from `decode_tables`): per-vocab precomputed GRU1 input gates
+    and readout y-term — the per-step embed -> matmul chains become row
+    gathers (same f32 values; decode hot-loop fast path).
+    Returns (s_new (B*K, H), ty (B*K, R) f32 readout y-term,
+    c_flat (B*K, C), attn)."""
     B, K = tok.shape
     H = s.shape[-1]
-    y = embed(params["embed"], tok.reshape(-1)).astype(ctx.dtype)
-    xg1 = gru_gates_from_x(params["gru1"], y)
+    flat_tok = tok.reshape(-1)
+    if tables is None:
+        y = embed(params["embed"], flat_tok).astype(ctx.dtype)
+        xg1 = gru_gates_from_x(params["gru1"], y)
+        ty = jnp.dot(y, params["readout"]["wy"],
+                     preferred_element_type=jnp.float32)
+    else:
+        xg1 = jnp.take(tables["xg1"], flat_tok, axis=0)
+        ty = jnp.take(tables["ty"], flat_tok, axis=0)
     s_tilde = gru_cell_from_xgates(params["gru1"], xg1, s.reshape(B * K, H))
     c, w = bahdanau_attend_beams(
         params["attn"], s_tilde.reshape(B, K, H), ctx, ctx_proj, src_mask)
     c_flat = c.reshape(B * K, -1)
     s_new = gru_cell_from_xgates(
         params["gru2"], gru_gates_from_x(params["gru2"], c_flat), s_tilde)
-    return s_new, y, c_flat, w
+    return s_new, ty, c_flat, w
 
 
 def decode_step_beams(
@@ -140,6 +193,7 @@ def decode_step_beams(
     ctx: jnp.ndarray,        # (B, T, C) — NOT tiled across beams
     ctx_proj: jnp.ndarray,   # (B, T, A)
     src_mask: jnp.ndarray,   # (B, T)
+    tables: Optional[Dict[str, jnp.ndarray]] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One decoder step for K beams per sentence sharing the encoder state.
 
@@ -147,12 +201,19 @@ def decode_step_beams(
     rows; attention broadcasts over the beam axis so ctx/ctx_proj stream
     from HBM once per sentence, not once per beam (see
     ops.attention.bahdanau_attend_beams). Greedy decode is the K=1 case.
+    tables: optional per-vocab gate/readout tables (`decode_tables`).
     Returns (s_new (B,K,H), logits (B,K,V) fp32, attn (B,K,T))."""
     B, K = tok.shape
     H = s.shape[-1]
-    s_new, y, c_flat, w = _beams_step_core(params, tok, s, ctx, ctx_proj,
-                                           src_mask)
-    logits = _readout_logits(params, cfg, y, s_new, c_flat, None)
+    s_new, ty, c_flat, w = _beams_step_core(params, tok, s, ctx, ctx_proj,
+                                            src_mask, tables)
+    r = params["readout"]
+    t = _readout_t(params, ty, s_new, c_flat)
+    logits = (
+        jnp.dot(t.astype(c_flat.dtype), _out_matrix(params, cfg),
+                preferred_element_type=jnp.float32)
+        + r["b_out"]
+    ).astype(jnp.float32)
     return (s_new.reshape(B, K, H), logits.reshape(B, K, -1), w)
 
 
@@ -164,22 +225,19 @@ def decode_step_beams_readout(
     ctx: jnp.ndarray,
     ctx_proj: jnp.ndarray,
     src_mask: jnp.ndarray,
+    tables: Optional[Dict[str, jnp.ndarray]] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Beam decoder step stopping at the readout ACTIVATIONS: returns
     (s_new (B,K,H), t (B*K, R) in compute dtype, w_out (R, V), b_out (V,))
     so the vocab projection can run fused with top-k
-    (ops/pallas_readout_topk) without materializing (B*K, V) logits."""
+    (ops/pallas_readout_topk) without materializing (B*K, V) logits.
+    tables: optional per-vocab gate/readout tables (`decode_tables`)."""
     B, K = tok.shape
     H = s.shape[-1]
-    s_new, y, c_flat, _ = _beams_step_core(params, tok, s, ctx, ctx_proj,
-                                           src_mask)
+    s_new, ty, c_flat, _ = _beams_step_core(params, tok, s, ctx, ctx_proj,
+                                            src_mask, tables)
     r = params["readout"]
-    t = jnp.tanh(
-        jnp.dot(y, r["wy"], preferred_element_type=jnp.float32)
-        + jnp.dot(s_new, r["ws"], preferred_element_type=jnp.float32)
-        + jnp.dot(c_flat, r["wc"], preferred_element_type=jnp.float32)
-        + r["b"]
-    )
+    t = _readout_t(params, ty, s_new, c_flat)
     return (s_new.reshape(B, K, H), t.astype(c_flat.dtype),
             _out_matrix(params, cfg), r["b_out"].astype(jnp.float32))
 

@@ -153,13 +153,15 @@ def decode_step(
     tok: jnp.ndarray,       # (B, K) previous tokens, K beams per sentence
     s: jnp.ndarray,         # (B, K, H)
     state: DecodeState,     # per-sentence fields, shared across beams
+    tables: Optional[Dict[str, jnp.ndarray]] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (s_new (B,K,H), fp32 logits (B,K,V)). Encoder state is NOT
     tiled across beams — attention broadcasts over the beam axis (greedy is
-    the K=1 case)."""
+    the K=1 case). tables: optional per-vocab gate/readout tables
+    (dec.decode_tables), computed once per decode dispatch."""
     s_new, logits, _ = dec.decode_step_beams(
         params["decoder"], cfg, tok, s, state.ctx, state.ctx_proj,
-        state.src_mask)
+        state.src_mask, tables)
     return s_new, logits
 
 
@@ -173,6 +175,7 @@ def decode_step_topk(
     finished: jnp.ndarray,  # (B, K) bool
     *,
     impl: str = "auto",
+    tables: Optional[Dict[str, jnp.ndarray]] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One beam step fused with candidate scoring + top-K: returns
     (s_new (B,K,H), top_scores (B,K), flat_idx (B,K), flat = beam*V + token)
@@ -194,7 +197,7 @@ def decode_step_topk(
 
         s_new, t, w_out, b_out = dec.decode_step_beams_readout(
             params["decoder"], cfg, tok, s, state.ctx, state.ctx_proj,
-            state.src_mask)
+            state.src_mask, tables)
         # impl="pallas" (not auto): choosing the fused STRUCTURE means the
         # streaming kernel — off-TPU it runs in interpret mode, which is
         # what the cross-impl beam parity tests exercise.
@@ -204,6 +207,6 @@ def decode_step_topk(
 
     from vag_nmt_tpu.ops.pallas_topk import beam_topk
 
-    s_new, logits = decode_step(params, cfg, tok, s, state)
+    s_new, logits = decode_step(params, cfg, tok, s, state, tables)
     top_scores, idx = beam_topk(logits, scores, finished)
     return s_new, top_scores, idx
