@@ -79,9 +79,12 @@ def main():
             return jax.lax.fori_loop(0, n, body, (tok0, s, scores, tokens))
         return run
 
+    gather_only = {k: v for k, v in tables.items() if k in ("xg1", "ty")}
     runs = {
         "untabled": (make_run(REPS, None), make_run(2 * REPS, None)),
-        "tabled": (make_run(REPS, tables), make_run(2 * REPS, tables)),
+        "tab_gather": (make_run(REPS, gather_only),
+                       make_run(2 * REPS, gather_only)),
+        "tab_fused": (make_run(REPS, tables), make_run(2 * REPS, tables)),
     }
 
     def fetch(r):

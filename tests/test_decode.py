@@ -124,6 +124,60 @@ def test_fused_readout_topk_beam_matches_unfused(setup, monkeypatch):
                                np.asarray(ref.scores), rtol=1e-5, atol=1e-5)
 
 
+def test_deferred_exactness_beam_matches(setup, monkeypatch):
+    """Chunk-level deferred exactness (VAG_FRT_DEFER=1, the default when
+    the fused kernel runs at slot depth < K): hypotheses/lengths/scores
+    must match the per-step-cond fused path and the unfused oracle at K=5,
+    including at slot depth 1 where the watermark fires often on random
+    data (exercising the whole-chunk exact rerun statistically)."""
+    params, m, state = setup
+    monkeypatch.setenv("VAG_READOUT_TOPK", "unfused")
+    ref = beam_search(params, m, state, beam_size=5, max_len=12)
+    monkeypatch.setenv("VAG_READOUT_TOPK", "fused")
+    for slots in ("", "1"):
+        if slots:
+            monkeypatch.setenv("VAG_FRT_SLOTS", slots)
+        monkeypatch.setenv("VAG_FRT_DEFER", "1")
+        got = beam_search(params, m, state, beam_size=5, max_len=12)
+        np.testing.assert_array_equal(np.asarray(got.tokens),
+                                      np.asarray(ref.tokens))
+        np.testing.assert_array_equal(np.asarray(got.lengths),
+                                      np.asarray(ref.lengths))
+        np.testing.assert_allclose(np.asarray(got.scores),
+                                   np.asarray(ref.scores),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_deferred_rerun_branch_is_exact(setup, monkeypatch):
+    """Force the violation flag True on every step: the deferred path must
+    then return the whole-chunk exact rerun's results, which equal the
+    per-step-cond path's (validates the rerun wiring independently of the
+    watermark's tiny natural firing probability)."""
+    params, m, state = setup
+    import vag_nmt_tpu.decode.beam as beam_mod
+
+    orig = beam_mod.decode_step_topk
+    monkeypatch.setenv("VAG_READOUT_TOPK", "fused")
+    monkeypatch.setenv("VAG_FRT_DEFER", "0")
+    ref = beam_search(params, m, state, beam_size=5, max_len=12)
+
+    def always_viol(*a, **kw):
+        out = orig(*a, **kw)
+        if kw.get("defer_exact"):
+            return out[:3] + (jnp.ones((), bool),)
+        return out
+
+    monkeypatch.setattr(beam_mod, "decode_step_topk", always_viol)
+    monkeypatch.setenv("VAG_FRT_DEFER", "1")
+    got = beam_search(params, m, state, beam_size=5, max_len=12)
+    np.testing.assert_array_equal(np.asarray(got.tokens),
+                                  np.asarray(ref.tokens))
+    np.testing.assert_array_equal(np.asarray(got.lengths),
+                                  np.asarray(ref.lengths))
+    np.testing.assert_allclose(np.asarray(got.scores),
+                               np.asarray(ref.scores), rtol=1e-5, atol=1e-5)
+
+
 @pytest.mark.parametrize("unroll", [2, 3, 8, 64])
 def test_beam_unroll_invariance(setup, unroll):
     """Hypotheses/lengths/scores must be IDENTICAL for any unroll factor

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from vag_nmt_tpu.core.config import EOS_ID, ModelConfig, PAD_ID, SOS_ID
 from vag_nmt_tpu.models.model import DecodeState, decode_step_topk
+from vag_nmt_tpu.ops.pallas_readout_topk import deferred_exactness_active
 
 NEG_INF = -1e9
 
@@ -73,53 +74,71 @@ def beam_search(
     K = beam_size
 
     def cond(carry):
-        t, _, _, _, _, finished, _ = carry
+        t, finished = carry[0], carry[5]
         return (t < max_len_pad) & ~jnp.all(finished)
 
     V = cfg.tgt_vocab_size
+    # Chunk-level deferred exactness (opt-in; see deferred_exactness_active
+    # for the measured NEGATIVE result that keeps it off by default): the
+    # slot-depth<K kernel's per-step exactness lax.cond costs ~17 us/step
+    # in context; in "defer" mode the watermark flag rides the loop carry
+    # instead and the WHOLE chunk reruns with the exact depth-K kernel iff
+    # it ever fired. Results are exact either way.
+    defer = deferred_exactness_active(K)
 
-    def body(carry):
-        t, last_tok, s, scores, tokens, finished, lengths = carry
-        # Steps past max_len exist only inside a partially-finished unroll
-        # block; freezing every row there makes them exact no-ops, so
-        # scores/lengths of never-finishing rows match the U=1 results.
-        finished = finished | (t >= max_len)
-        # Fused decoder-step + candidate-scoring + top-k: finished rows are
-        # forced to continue with <pad> at log-prob 0 (they ride along
-        # frozen and keep competing), live rows score scores + log-softmax.
-        # On TPU the vocab projection runs INSIDE the streaming top-k kernel
-        # (ops/pallas_readout_topk) so the (B*K, V) logits never reach HBM;
-        # elsewhere logits materialize and beam_topk handles scoring (env
-        # VAG_READOUT_TOPK / VAG_TOPK_IMPL override — see the module docs
-        # for measured comparisons).
-        s_new, top_scores, idx = decode_step_topk(
-            params, cfg, last_tok, s, state, scores, finished,
-            tables=tables)
-        beam_idx = idx // V
-        tok = (idx % V).astype(jnp.int32)
+    def make_body(mode):                 # "plain" | "defer" | "exact"
+        def body_1(carry):
+            t, last_tok, s, scores, tokens, finished, lengths = carry[:7]
+            # Steps past max_len exist only inside a partially-finished
+            # unroll block; freezing every row there makes them exact
+            # no-ops, so scores/lengths of never-finishing rows match the
+            # U=1 results.
+            finished = finished | (t >= max_len)
+            # Fused decoder-step + candidate-scoring + top-k: finished rows
+            # are forced to continue with <pad> at log-prob 0 (they ride
+            # along frozen and keep competing), live rows score
+            # scores + log-softmax. On TPU the vocab projection runs INSIDE
+            # the streaming top-k kernel (ops/pallas_readout_topk) so the
+            # (B*K, V) logits never reach HBM; elsewhere logits materialize
+            # and beam_topk handles scoring (env VAG_READOUT_TOPK /
+            # VAG_TOPK_IMPL override — see the module docs for measured
+            # comparisons).
+            if mode == "defer":
+                s_new, top_scores, idx, v = decode_step_topk(
+                    params, cfg, last_tok, s, state, scores, finished,
+                    tables=tables, defer_exact=True)
+            else:
+                s_new, top_scores, idx = decode_step_topk(
+                    params, cfg, last_tok, s, state, scores, finished,
+                    tables=tables, exact=(mode == "exact"))
+            beam_idx = idx // V
+            tok = (idx % V).astype(jnp.int32)
 
-        def sel(x):  # gather (B, K, ...) along beam axis
-            return jnp.take_along_axis(
-                x, beam_idx.reshape(beam_idx.shape + (1,) * (x.ndim - 2)),
-                axis=1)
+            def sel(x):  # gather (B, K, ...) along beam axis
+                return jnp.take_along_axis(
+                    x, beam_idx.reshape(
+                        beam_idx.shape + (1,) * (x.ndim - 2)), axis=1)
 
-        s_sel = sel(s_new)
-        tokens = sel(tokens)
-        fin_sel = sel(finished[..., None])[..., 0]
-        len_sel = sel(lengths[..., None])[..., 0]
+            s_sel = sel(s_new)
+            tokens = sel(tokens)
+            fin_sel = sel(finished[..., None])[..., 0]
+            len_sel = sel(lengths[..., None])[..., 0]
 
-        tokens = tokens.at[:, :, t].set(tok)           # finished rows wrote PAD
-        lengths = jnp.where(fin_sel, len_sel, len_sel + 1)
-        finished = fin_sel | (tok == EOS_ID)
-        return (t + 1, tok, s_sel, top_scores, tokens, finished, lengths)
+            tokens = tokens.at[:, :, t].set(tok)   # finished rows wrote PAD
+            lengths = jnp.where(fin_sel, len_sel, len_sel + 1)
+            finished = fin_sel | (tok == EOS_ID)
+            out = (t + 1, tok, s_sel, top_scores, tokens, finished, lengths)
+            if mode == "defer":
+                out = out + (carry[7] | v,)
+            return out
 
-    if U > 1:
-        body_1 = body
-
-        def body(carry):
-            for _ in range(U):
-                carry = body_1(carry)
-            return carry
+        if U > 1:
+            def body(carry):
+                for _ in range(U):
+                    carry = body_1(carry)
+                return carry
+            return body
+        return body_1
 
     init = (
         jnp.asarray(0, jnp.int32),
@@ -133,8 +152,21 @@ def beam_search(
         jnp.zeros((B, K), bool),
         jnp.zeros((B, K), jnp.int32),
     )
-    _, _, _, scores, tokens, finished, lengths = jax.lax.while_loop(
-        cond, body, init)
+    if defer:
+        out = jax.lax.while_loop(cond, make_body("defer"),
+                                 init + (jnp.zeros((), bool),))
+
+        def rerun(_):
+            r = jax.lax.while_loop(cond, make_body("exact"), init)
+            return r[3], r[4], r[6]
+
+        def keep(_):
+            return out[3], out[4], out[6]
+
+        scores, tokens, lengths = jax.lax.cond(out[7], rerun, keep, None)
+    else:
+        _, _, _, scores, tokens, _, lengths = jax.lax.while_loop(
+            cond, make_body("plain"), init)
     tokens = tokens[:, :, :max_len]
 
     norm = jnp.maximum(lengths, 1).astype(jnp.float32) ** length_norm_alpha

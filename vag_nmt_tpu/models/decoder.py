@@ -27,10 +27,12 @@ from vag_nmt_tpu.models.layers import dropout, embed, init_dense, init_embedding
 from vag_nmt_tpu.ops.attention import (
     bahdanau_attend,
     bahdanau_attend_beams,
+    bahdanau_attend_beams_q,
     init_attention_params,
     precompute_ctx_proj,
 )
 from vag_nmt_tpu.ops.gru import (
+    gru_cell_from_gates,
     gru_cell_from_xgates,
     gru_gates_from_x,
     init_gru_params,
@@ -78,8 +80,17 @@ def decode_tables(params: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
     exactly the `preferred_element_type=f32` matmul outputs the per-step
     path produces, so results match the untabled path (parity-tested).
 
+    The tables dict also carries column-wise CONCATENATED weight matrices
+    that fuse the remaining per-step GEMMs pairwise (same input rows, so
+    one MXU dispatch computes both outputs; per-column results are the
+    same dot products as the separate matmuls):
+      w_s = [ua | uh2]  (H, A+3H): s_tilde -> attention query + GRU2 h-gates
+      w_c = [wx2 | wc]  (C, 3H+R): attention ctx -> GRU2 x-gates + readout
+                                   c-term
+
     Returns {"xg1": (V, 3H) f32 = embed @ wi1 + bi1,
-             "ty":  (V, R)  f32 = embed @ wy}.
+             "ty":  (V, R)  f32 = embed @ wy,
+             "w_s": (H, A+3H), "w_c": (C, 3H+R)  [param dtype]}.
     Pass to decode_step_beams/_readout via `tables=`; beam_search /
     greedy_decode / translate thread it through. ~(V * (3H + R) * 4) bytes
     of HBM per decode program (e.g. 49+8 MB at V=8000, H=512, R=256)."""
@@ -88,6 +99,10 @@ def decode_tables(params: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
         "xg1": gru_gates_from_x(params["gru1"], emb),
         "ty": jnp.dot(emb, params["readout"]["wy"],
                       preferred_element_type=jnp.float32),
+        "w_s": jnp.concatenate(
+            [params["attn"]["ua"], params["gru2"]["uh"]], axis=1),
+        "w_c": jnp.concatenate(
+            [params["gru2"]["wi"], params["readout"]["wc"]], axis=1),
     }
 
 
@@ -97,12 +112,15 @@ def _readout_t(
     s_new: jnp.ndarray,      # (N, H)
     c: jnp.ndarray,          # (N, C)
     readout_drop_mask: Optional[jnp.ndarray] = None,
+    tc: Optional[jnp.ndarray] = None,  # (N, R) f32 precomputed c @ wc
 ) -> jnp.ndarray:
     r = params["readout"]
+    if tc is None:
+        tc = jnp.dot(c, r["wc"], preferred_element_type=jnp.float32)
     t = jnp.tanh(
         ty
         + jnp.dot(s_new, r["ws"], preferred_element_type=jnp.float32)
-        + jnp.dot(c, r["wc"], preferred_element_type=jnp.float32)
+        + tc
         + r["b"]
     )
     if readout_drop_mask is not None:
@@ -157,14 +175,19 @@ def _beams_step_core(
     ctx_proj: jnp.ndarray,
     src_mask: jnp.ndarray,
     tables: Optional[Dict[str, jnp.ndarray]] = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
+           Optional[jnp.ndarray], jnp.ndarray]:
     """Shared GRU1 -> attention -> GRU2 body of a beam decoder step.
 
     tables (from `decode_tables`): per-vocab precomputed GRU1 input gates
     and readout y-term — the per-step embed -> matmul chains become row
-    gathers (same f32 values; decode hot-loop fast path).
+    gathers — plus concatenated weight matrices w_s/w_c that fuse the four
+    remaining per-step GEMMs pairwise (attention query + GRU2 h-gates off
+    s_tilde; GRU2 x-gates + readout c-term off the attention context). The
+    fused GEMMs compute the SAME per-column dot products as the separate
+    matmuls, so results match the untabled path (parity-tested).
     Returns (s_new (B*K, H), ty (B*K, R) f32 readout y-term,
-    c_flat (B*K, C), attn)."""
+    c_flat (B*K, C), tc (B*K, R) f32 readout c-term or None, attn)."""
     B, K = tok.shape
     H = s.shape[-1]
     flat_tok = tok.reshape(-1)
@@ -177,12 +200,30 @@ def _beams_step_core(
         xg1 = jnp.take(tables["xg1"], flat_tok, axis=0)
         ty = jnp.take(tables["ty"], flat_tok, axis=0)
     s_tilde = gru_cell_from_xgates(params["gru1"], xg1, s.reshape(B * K, H))
-    c, w = bahdanau_attend_beams(
-        params["attn"], s_tilde.reshape(B, K, H), ctx, ctx_proj, src_mask)
-    c_flat = c.reshape(B * K, -1)
-    s_new = gru_cell_from_xgates(
-        params["gru2"], gru_gates_from_x(params["gru2"], c_flat), s_tilde)
-    return s_new, ty, c_flat, w
+    if tables is not None and "w_s" in tables:
+        A = params["attn"]["ua"].shape[1]
+        g2 = params["gru2"]
+        qh = jnp.dot(s_tilde, tables["w_s"],
+                     preferred_element_type=jnp.float32)      # (B*K, A+3H)
+        c, w = bahdanau_attend_beams_q(
+            params["attn"], qh[:, :A].reshape(B, K, A), ctx, ctx_proj,
+            src_mask)
+        c_flat = c.reshape(B * K, -1)
+        xc = jnp.dot(c_flat, tables["w_c"],
+                     preferred_element_type=jnp.float32)      # (B*K, 3H+R)
+        s_new = gru_cell_from_gates(
+            xc[:, :3 * H] + g2["bi"], qh[:, A:] + g2["bh"], s_tilde)
+        tc = xc[:, 3 * H:]
+    else:
+        c, w = bahdanau_attend_beams(
+            params["attn"], s_tilde.reshape(B, K, H), ctx, ctx_proj,
+            src_mask)
+        c_flat = c.reshape(B * K, -1)
+        s_new = gru_cell_from_xgates(
+            params["gru2"], gru_gates_from_x(params["gru2"], c_flat),
+            s_tilde)
+        tc = None
+    return s_new, ty, c_flat, tc, w
 
 
 def decode_step_beams(
@@ -205,10 +246,10 @@ def decode_step_beams(
     Returns (s_new (B,K,H), logits (B,K,V) fp32, attn (B,K,T))."""
     B, K = tok.shape
     H = s.shape[-1]
-    s_new, ty, c_flat, w = _beams_step_core(params, tok, s, ctx, ctx_proj,
-                                            src_mask, tables)
+    s_new, ty, c_flat, tc, w = _beams_step_core(params, tok, s, ctx,
+                                                ctx_proj, src_mask, tables)
     r = params["readout"]
-    t = _readout_t(params, ty, s_new, c_flat)
+    t = _readout_t(params, ty, s_new, c_flat, tc=tc)
     logits = (
         jnp.dot(t.astype(c_flat.dtype), _out_matrix(params, cfg),
                 preferred_element_type=jnp.float32)
@@ -234,10 +275,10 @@ def decode_step_beams_readout(
     tables: optional per-vocab gate/readout tables (`decode_tables`)."""
     B, K = tok.shape
     H = s.shape[-1]
-    s_new, ty, c_flat, _ = _beams_step_core(params, tok, s, ctx, ctx_proj,
-                                            src_mask, tables)
+    s_new, ty, c_flat, tc, _ = _beams_step_core(params, tok, s, ctx,
+                                                ctx_proj, src_mask, tables)
     r = params["readout"]
-    t = _readout_t(params, ty, s_new, c_flat)
+    t = _readout_t(params, ty, s_new, c_flat, tc=tc)
     return (s_new.reshape(B, K, H), t.astype(c_flat.dtype),
             _out_matrix(params, cfg), r["b_out"].astype(jnp.float32))
 

@@ -176,7 +176,9 @@ def decode_step_topk(
     *,
     impl: str = "auto",
     tables: Optional[Dict[str, jnp.ndarray]] = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    defer_exact: bool = False,
+    exact: bool = False,
+) -> Tuple[jnp.ndarray, ...]:
     """One beam step fused with candidate scoring + top-K: returns
     (s_new (B,K,H), top_scores (B,K), flat_idx (B,K), flat = beam*V + token)
     with ops/pallas_topk.beam_topk's candidate semantics.
@@ -184,7 +186,15 @@ def decode_step_topk(
     impl: "fused" runs the vocab projection inside the streaming
     readout+top-k kernel — the (B*K, V) logits never touch HBM
     (ops/pallas_readout_topk); "unfused" materializes logits and calls
-    beam_topk; "auto" picks fused on TPU (env VAG_READOUT_TOPK overrides)."""
+    beam_topk; "auto" picks fused on TPU (env VAG_READOUT_TOPK overrides).
+
+    defer_exact: appends a scalar bool "may be inexact" flag to the return
+    instead of the kernel's per-step exactness cond — the beam loop ORs it
+    across steps and reruns the chunk exactly if it ever fired (see
+    ops/pallas_readout_topk.fused_readout_topk). Constant False on the
+    unfused path, which is unconditionally exact.
+    exact: force the slot depth to K (the unconditionally exact kernel) —
+    the chunk-rerun branch of the deferred recovery."""
     if impl == "auto":
         import os
 
@@ -201,12 +211,17 @@ def decode_step_topk(
         # impl="pallas" (not auto): choosing the fused STRUCTURE means the
         # streaming kernel — off-TPU it runs in interpret mode, which is
         # what the cross-impl beam parity tests exercise.
-        top_scores, idx = fused_readout_topk(t, w_out, b_out, scores,
-                                             finished, impl="pallas")
-        return s_new, top_scores, idx
+        K = scores.shape[1]
+        out = fused_readout_topk(t, w_out, b_out, scores, finished,
+                                 impl="pallas",
+                                 slots=K if exact else 0,
+                                 defer_exact=defer_exact)
+        return (s_new,) + out
 
     from vag_nmt_tpu.ops.pallas_topk import beam_topk
 
     s_new, logits = decode_step(params, cfg, tok, s, state, tables)
     top_scores, idx = beam_topk(logits, scores, finished)
+    if defer_exact:
+        return s_new, top_scores, idx, jnp.zeros((), bool)
     return s_new, top_scores, idx

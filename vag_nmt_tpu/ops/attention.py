@@ -75,6 +75,19 @@ def bahdanau_attend_beams(
     hot loop) and turns the weighted sum into a batched (K,T)x(T,C) matmul
     that tiles onto the MXU. Returns ((B, K, C), (B, K, T))."""
     q = jnp.dot(query, params["ua"], preferred_element_type=jnp.float32)
+    return bahdanau_attend_beams_q(params, q, ctx, ctx_proj, mask)
+
+
+def bahdanau_attend_beams_q(
+    params: Params,
+    q: jnp.ndarray,          # (B, K, A) PRE-projected query (query @ ua), f32
+    ctx: jnp.ndarray,        # (B, T, C)
+    ctx_proj: jnp.ndarray,   # (B, T, A)
+    mask: jnp.ndarray,       # (B, T)
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """`bahdanau_attend_beams` with the query projection already applied —
+    the decode fast path fuses `query @ ua` column-wise into the GRU2
+    hidden-gate matmul (same input rows), so attention receives q directly."""
     e = jnp.tanh(ctx_proj[:, None, :, :] + q[:, :, None, :] + params["ba"])
     scores = jnp.einsum("bkta,a->bkt", e, params["va"])
     w = masked_softmax(scores, mask[:, None, :])

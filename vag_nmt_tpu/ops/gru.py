@@ -66,16 +66,24 @@ def gru_gates_from_x(params: Params, x: jnp.ndarray) -> jnp.ndarray:
     return jnp.dot(x, params["wi"], preferred_element_type=jnp.float32) + params["bi"]
 
 
-def gru_cell_from_xgates(params: Params, xg: jnp.ndarray,
-                         h: jnp.ndarray) -> jnp.ndarray:
-    """One step given precomputed input gates. xg: (N, 3H), h: (N, H)."""
-    hg = jnp.dot(h, params["uh"], preferred_element_type=jnp.float32) + params["bh"]
+def gru_cell_from_gates(xg: jnp.ndarray, hg: jnp.ndarray,
+                        h: jnp.ndarray) -> jnp.ndarray:
+    """Gate nonlinearity given BOTH precomputed gate sets (biases included).
+    xg/hg: (N, 3H), h: (N, H). Lets callers fuse the hidden-gate matmul
+    with other same-input matmuls (decode fast path)."""
     xr, xz, xn = _split3(xg)
     hr, hz, hn = _split3(hg)
     r = jax.nn.sigmoid(xr + hr)
     z = jax.nn.sigmoid(xz + hz)
     n = jnp.tanh(xn + r * hn)
     return ((1.0 - z) * n + z * h.astype(n.dtype)).astype(h.dtype)
+
+
+def gru_cell_from_xgates(params: Params, xg: jnp.ndarray,
+                         h: jnp.ndarray) -> jnp.ndarray:
+    """One step given precomputed input gates. xg: (N, 3H), h: (N, H)."""
+    hg = jnp.dot(h, params["uh"], preferred_element_type=jnp.float32) + params["bh"]
+    return gru_cell_from_gates(xg, hg, h)
 
 
 def gru_cell(params: Params, x: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:

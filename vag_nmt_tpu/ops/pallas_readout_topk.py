@@ -49,6 +49,43 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def deferred_exactness_active(K: int) -> bool:
+    """Trace-time decision for decode/beam.py: use CHUNK-level deferred
+    exactness recovery (carry the watermark flag through the while_loop and
+    rerun the chunk with the depth-K kernel iff it fired) instead of the
+    per-step lax.cond fallback.
+
+    DEFAULT OFF — measured NEGATIVE result (benchmarks/defer_ab.py,
+    interleaved full-beam-search fetch-delta on 1×v5e, untrained bf16
+    model: per-step cond 201 us/step vs deferred 309 us/step). Removing
+    the per-step cond saves its ~17 us/step fixed cost, but the chunk-level
+    recovery pays the WHOLE chunk again whenever ANY of its ~(B·K·steps)
+    row-steps fires the watermark — the per-step fallback only repays one
+    step's kernel. bf16 logits tie often enough that the conservative
+    watermark fires at far above the ~2e-6/row/step estimate used when
+    this was proposed (VERDICT r2 trace analysis), so amplification wins.
+    Kept as an opt-in knob (VAG_FRT_DEFER=1) for regimes with sharply
+    peaked posteriors and short chunks, where per-chunk firing is rare.
+
+    True iff VAG_FRT_DEFER=1, the fused-kernel path would be active under
+    the same env/backend resolution `models.model.decode_step_topk` uses,
+    the resolved slot depth is < K (a per-step cond would otherwise
+    exist), and VAG_FRT_NOCOND=1 (bench-only knob whose meaning is "no
+    recovery at all") is not set."""
+    if os.environ.get("VAG_FRT_DEFER", "0") != "1":
+        return False
+    if os.environ.get("VAG_FRT_NOCOND", "") == "1":
+        return False
+    impl = os.environ.get("VAG_READOUT_TOPK", "")
+    if impl not in ("fused", "unfused"):
+        impl = "fused" if jax.default_backend() == "tpu" else "unfused"
+    if impl != "fused":
+        return False
+    env_s = os.environ.get("VAG_FRT_SLOTS", "")
+    slots = int(env_s) if env_s else (3 if K > 3 else K)
+    return min(max(1, slots), K) < K
+
+
 def _kernel(t_ref, w_ref, b_ref, vals_ref, idx_ref, lse_ref, viol_ref,
             lg, s_l, w_mark, *slots, V: int, tv: int, K: int, sk: int,
             direct: bool):
@@ -208,7 +245,7 @@ def _combine(rvals, ridx, lse, scores, finished, V, pad_id):
 
 @functools.partial(jax.jit,
                    static_argnames=("pad_id", "impl", "tv", "direct",
-                                    "slots"))
+                                    "slots", "defer_exact"))
 def fused_readout_topk(
     t: jnp.ndarray,           # (B*K, E) readout activations (beam-major rows)
     w: jnp.ndarray,           # (E, V) output matrix (compute dtype)
@@ -221,7 +258,8 @@ def fused_readout_topk(
     tv: int = 512,
     direct: bool = True,
     slots: int = 0,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    defer_exact: bool = False,
+) -> Tuple[jnp.ndarray, ...]:
     """Top-K next-beam candidates straight from the readout activations.
 
     Identical contract to ops/pallas_topk.beam_topk applied to
@@ -237,7 +275,16 @@ def fused_readout_topk(
     VAG_FRT_SLOTS overrides). Depth < K cuts the dominant VPU cost ~40% and
     stays EXACT via watermark detection + lax.cond fallback to the
     full-depth kernel (see _kernel docstring) — results match the depth-K
-    kernel bit for bit on every input."""
+    kernel bit for bit on every input.
+
+    defer_exact: skip the in-step lax.cond fallback and instead return a
+    THIRD output — a scalar bool that is True iff the watermark flagged any
+    row (i.e. the fast result MAY be inexact). The caller owns recovery:
+    decode/beam.py ORs the flag across all steps of a chunk and reruns the
+    whole chunk with the depth-K kernel when it fired (chunk-level cond,
+    P ~2e-6/row/step of firing), which removes the measured ~17 us/step
+    in-context cost of the per-step cond from the hot loop. When the depth
+    is already exact (sk >= K) the flag is constant False."""
     B, K = scores.shape
     E, V = w.shape
     R = t.shape[0]
@@ -254,8 +301,9 @@ def fused_readout_topk(
 
         logits = (jnp.dot(t, w, preferred_element_type=jnp.float32)
                   + b.astype(jnp.float32))
-        return beam_topk(logits.reshape(B, K, V), scores, finished,
-                         pad_id=pad_id, impl="xla")
+        out = beam_topk(logits.reshape(B, K, V), scores, finished,
+                        pad_id=pad_id, impl="xla")
+        return out + (jnp.zeros((), bool),) if defer_exact else out
 
     if slots <= 0:
         env_s = os.environ.get("VAG_FRT_SLOTS", "")
@@ -304,7 +352,11 @@ def fused_readout_topk(
     scores32 = scores.astype(jnp.float32)
     rvals, ridx, lse, viol = call_kernel(sk)
     if sk >= K:
-        return _combine(rvals, ridx, lse, scores32, finished, V, pad_id)
+        out = _combine(rvals, ridx, lse, scores32, finished, V, pad_id)
+        return out + (jnp.zeros((), bool),) if defer_exact else out
+    if defer_exact:
+        return _combine(rvals, ridx, lse, scores32, finished, V,
+                        pad_id) + (jnp.any(viol > 0),)
     if os.environ.get("VAG_FRT_NOCOND", "") == "1":
         # BENCH-ONLY: skip the exactness fallback to measure the lax.cond's
         # per-step cost in context. NOT exact (P ~2e-6/row of a wrong
