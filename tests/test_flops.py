@@ -40,9 +40,14 @@ def _enc_scan_undercount(m, B, T):
 
 
 def _dec_scan_undercount(m, B, T, Tt):
-    """Teacher-forced decoder: the scan body is a full decode step MINUS the
-    GRU1 input gates (precomputed time-parallel outside the scan)."""
-    body = decode_step_flops(m, T) - 2 * m.emb_dim * 3 * m.dec_hidden_dim
+    """Teacher-forced decoder: the scan body is a full decode step MINUS
+    every hoisted GEMM — the GRU1 input gates and the readout y-term run
+    time-parallel BEFORE the scan, and the (R, V) vocab projection runs as
+    one batched matmul AFTER it (models/decoder.teacher_forced_logits), so
+    XLA counts those three in full."""
+    E, D = m.emb_dim, m.dec_hidden_dim
+    R, V = m.emb_dim, m.tgt_vocab_size
+    body = decode_step_flops(m, T) - 2 * E * 3 * D - 2 * E * R - 2 * R * V
     return (Tt - 1) * B * body
 
 

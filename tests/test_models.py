@@ -129,6 +129,42 @@ def test_prepare_decode_shapes(toy_cfg):
     assert st.ctx_proj.shape == (5, 8, m.attn_dim)
 
 
+def test_teacher_forced_logits_match_per_step_oracle(toy_cfg):
+    """The hoisted teacher-forced scan (time-parallel GRU1 gates + readout
+    y-term BEFORE the scan, one batched vocab GEMM AFTER it) computes the
+    same dot products as the full per-step oracle `step_from_xgates`; only
+    GEMM batching/accumulation order differs, so logits must agree to fp32
+    rounding."""
+    from vag_nmt_tpu.models import decoder as dec
+    from vag_nmt_tpu.models.layers import embed
+    from vag_nmt_tpu.ops.attention import precompute_ctx_proj
+    from vag_nmt_tpu.ops.gru import gru_gates_from_x
+
+    m = toy_cfg.model
+    params = init_params(jax.random.key(0), m)
+    batch = make_batch(toy_cfg, B=4, T=6, Tt=7, seed=5)
+    st = prepare_decode(params, m, batch)
+    dp = params["decoder"]
+
+    fused = dec.teacher_forced_logits(
+        dp, m, batch["tgt_in"], st.s0, st.ctx, batch["src_mask"],
+        train=False, rng=None)
+
+    ctx_proj = precompute_ctx_proj(dp["attn"], st.ctx)
+    s = st.s0
+    per_step = []
+    for t in range(batch["tgt_in"].shape[1]):
+        y_t = embed(dp["embed"], batch["tgt_in"][:, t]).astype(st.ctx.dtype)
+        xg_t = gru_gates_from_x(dp["gru1"], y_t)
+        s, logits_t, _ = dec.step_from_xgates(
+            dp, m, y_t, xg_t, s, st.ctx, ctx_proj, batch["src_mask"])
+        per_step.append(logits_t)
+    oracle = jnp.stack(per_step, axis=1)
+
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(oracle),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_two_layer_encoder_and_decode_shapes():
     """m30k_scaled topology (2-layer bi-GRU) end to end at toy dims."""
     from vag_nmt_tpu.core.config import preset

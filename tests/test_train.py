@@ -56,8 +56,13 @@ def _run_steps(cfg, exs, n_steps, state=None, mesh=None):
 def test_toy_overfit_loss_drops_and_bleu_high(toy_cfg):
     exs = make_toy_examples(64, seed=0, img_dim=toy_cfg.model.img_feat_dim)
     state, losses = _run_steps(toy_cfg, exs, 340)
-    assert losses[-1] < 0.3, f"no overfit: final loss {losses[-1]:.3f}"
-    assert losses[-1] < losses[0] / 8
+    # Per-batch loss is noisy this deep into overfitting (single batches spike
+    # past 1.0 while the model is near-solved), and the trajectory is chaotic
+    # under accumulation-order changes, so assert on the median of the last 20
+    # batch losses rather than whichever batch happens to land at step 340.
+    tail = float(np.median(losses[-20:]))
+    assert tail < 0.3, f"no overfit: median tail loss {tail:.3f}"
+    assert tail < losses[0] / 8
 
     # Greedy-decode the training set back out; the copy-reverse task should be
     # (nearly) solved, so corpus BLEU should be very high.

@@ -6,11 +6,14 @@ then a tanh readout -> vocab logits. [LOW-CONF on the reference's exact
 readout (maxout?) — mount empty this session; tanh readout chosen.]
 
 TPU-first details:
-- the GRU1 input gates for ALL target positions are one big time-parallel
-  matmul outside the teacher-forced scan;
+- every non-recurrent GEMM moves out of the teacher-forced scan: the GRU1
+  input gates and the readout y-term are time-parallel matmuls BEFORE it,
+  and the (R, V) vocab projection is ONE (B*Tt, R) matmul AFTER it (the
+  scan emits readout activations, not logits);
 - the attention context projection is precomputed once per sentence;
-- the same `step_from_xgates` body is used by the training scan, greedy
-  decode, and beam search, so train/decode numerics agree by construction;
+- the same `step_acts_from_xgates` recurrent body is used by the training
+  scan and (via `_beams_step_core`'s fused variant, parity-tested) the
+  decode loops, so train/decode numerics agree by construction;
 - logits accumulate in fp32 regardless of compute dtype.
 """
 
@@ -128,23 +131,28 @@ def _readout_t(
     return t
 
 
-def _readout_logits(
+def step_acts_from_xgates(
     params: Dict[str, Any],
-    cfg: ModelConfig,
-    y_emb: jnp.ndarray,      # (N, E)
-    s_new: jnp.ndarray,      # (N, H)
-    c: jnp.ndarray,          # (N, C)
-    readout_drop_mask: Optional[jnp.ndarray],
-) -> jnp.ndarray:
-    r = params["readout"]
-    ty = jnp.dot(y_emb, r["wy"], preferred_element_type=jnp.float32)
-    t = _readout_t(params, ty, s_new, c, readout_drop_mask)
-    logits = (
-        jnp.dot(t.astype(c.dtype), _out_matrix(params, cfg),
-                preferred_element_type=jnp.float32)
-        + r["b_out"]
-    )
-    return logits.astype(jnp.float32)
+    ty: jnp.ndarray,         # (N, R) f32 precomputed readout y-term (y @ wy)
+    xg1: jnp.ndarray,        # (N, 3H) precomputed GRU1 input gates
+    s: jnp.ndarray,          # (N, H)
+    ctx: jnp.ndarray,        # (N, T, C)
+    ctx_proj: jnp.ndarray,   # (N, T, A)
+    src_mask: jnp.ndarray,   # (N, T)
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One decoder step up to the readout ACTIVATIONS (pre-dropout, pre
+    vocab GEMM). Returns (s_new (N,H), t (N,R) f32, attn (N,T)).
+
+    Both per-step GEMMs that depend only on the input token (GRU1 input
+    gates, readout y-term) are precomputed by the caller: time-parallel over
+    all positions in teacher forcing, per-vocab tables in the decode loop —
+    so the recurrent body is identical across train and decode paths."""
+    s_tilde = gru_cell_from_xgates(params["gru1"], xg1, s)
+    c, w = bahdanau_attend(params["attn"], s_tilde, ctx, ctx_proj, src_mask)
+    s_new = gru_cell_from_xgates(
+        params["gru2"], gru_gates_from_x(params["gru2"], c), s_tilde)
+    t = _readout_t(params, ty, s_new, c)
+    return s_new, t, w
 
 
 def step_from_xgates(
@@ -158,12 +166,19 @@ def step_from_xgates(
     src_mask: jnp.ndarray,   # (N, T)
     readout_drop_mask: Optional[jnp.ndarray] = None,  # (N, R) inverted-dropout
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """One decoder step. Returns (s_new (N,H), logits (N,V) fp32, attn (N,T))."""
-    s_tilde = gru_cell_from_xgates(params["gru1"], xg1, s)
-    c, w = bahdanau_attend(params["attn"], s_tilde, ctx, ctx_proj, src_mask)
-    s_new = gru_cell_from_xgates(
-        params["gru2"], gru_gates_from_x(params["gru2"], c), s_tilde)
-    logits = _readout_logits(params, cfg, y_emb, s_new, c, readout_drop_mask)
+    """One FULL decoder step (numerics oracle for the fused decode paths).
+    Returns (s_new (N,H), logits (N,V) fp32, attn (N,T))."""
+    ty = jnp.dot(y_emb, params["readout"]["wy"],
+                 preferred_element_type=jnp.float32)
+    s_new, t, w = step_acts_from_xgates(
+        params, ty, xg1, s, ctx, ctx_proj, src_mask)
+    if readout_drop_mask is not None:
+        t = t * readout_drop_mask
+    logits = (
+        jnp.dot(t.astype(ctx.dtype), _out_matrix(params, cfg),
+                preferred_element_type=jnp.float32)
+        + params["readout"]["b_out"]
+    ).astype(jnp.float32)
     return s_new, logits, w
 
 
@@ -294,30 +309,49 @@ def teacher_forced_logits(
     train: bool = False,
     rng: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
-    """Logits for every target position: (B, Tt, V) fp32, one fused scan."""
+    """Logits for every target position: (B, Tt, V) fp32, one fused scan.
+
+    TPU structure: every GEMM that does not depend on the recurrent state
+    runs time-parallel OUTSIDE the scan — the GRU1 input gates and the
+    readout y-term before it (both functions of the known teacher-forced
+    tokens), and, the big one, the (R, V) vocab projection after it. The
+    scan emits only the (B, Tt, R) readout activations; the vocab logits
+    are then ONE (B*Tt, R) x (R, V) MXU-shaped matmul instead of Tt
+    narrow (B, R) x (R, V) matmuls serialized inside the scan (and its
+    backward likewise becomes one big GEMM pair instead of Tt small ones).
+    Same dot products per element, so numerics match the per-step oracle
+    (`step_from_xgates`); goldens unchanged. The readout dropout mask
+    applies to the stacked activations, identical to masking per step."""
     B, Tt = tgt_in.shape
     R = params["readout"]["wy"].shape[1]
     y = embed(params["embed"], tgt_in).astype(ctx.dtype)       # (B, Tt, E)
     if train and rng is not None:
         y = dropout(key_for(rng, "decoder/emb_drop"), y, cfg.dropout, train)
     xg1 = gru_gates_from_x(params["gru1"], y)                   # (B, Tt, 3H)
+    ty = jnp.dot(y, params["readout"]["wy"],
+                 preferred_element_type=jnp.float32)            # (B, Tt, R)
     ctx_proj = precompute_ctx_proj(params["attn"], ctx)
+
+    def step(s, inp):
+        ty_t, xg_t = inp
+        s_new, t, _ = step_acts_from_xgates(
+            params, ty_t, xg_t, s, ctx, ctx_proj, src_mask)
+        return s_new, t
+
+    xs = (jnp.swapaxes(ty, 0, 1), jnp.swapaxes(xg1, 0, 1))
+    _, t_all = jax.lax.scan(step, s0, xs)                       # (Tt, B, R)
+    t_all = jnp.swapaxes(t_all, 0, 1)                           # (B, Tt, R)
 
     if train and rng is not None and cfg.dropout > 0:
         keep = 1.0 - cfg.dropout
         dm = jax.random.bernoulli(
             key_for(rng, "decoder/readout_drop"), keep, (B, Tt, R)
         ).astype(jnp.float32) / keep
-    else:
-        dm = jnp.ones((B, Tt, 1), jnp.float32)
+        t_all = t_all * dm
 
-    def step(s, inp):
-        y_t, xg_t, dm_t = inp
-        s_new, logits, _ = step_from_xgates(
-            params, cfg, y_t, xg_t, s, ctx, ctx_proj, src_mask,
-            readout_drop_mask=dm_t)
-        return s_new, logits
-
-    xs = (jnp.swapaxes(y, 0, 1), jnp.swapaxes(xg1, 0, 1), jnp.swapaxes(dm, 0, 1))
-    _, logits = jax.lax.scan(step, s0, xs)
-    return jnp.swapaxes(logits, 0, 1)
+    logits = (
+        jnp.dot(t_all.astype(ctx.dtype), _out_matrix(params, cfg),
+                preferred_element_type=jnp.float32)
+        + params["readout"]["b_out"]
+    )
+    return logits.astype(jnp.float32)
