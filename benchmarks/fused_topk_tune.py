@@ -50,14 +50,14 @@ def main():
     scores = jnp.asarray(rng.randn(B, K), jnp.float32)
     finished = jnp.asarray(rng.rand(B, K) < 0.2)
 
-    def make(tv, direct):
+    def make(tv, direct, slots=0):
         def mk(n):
             @jax.jit
             def run(sc):
                 def body(i, c):
                     v, idx = fused_readout_topk(
                         t, w, b, c, finished, impl="pallas", tv=tv,
-                        direct=direct)
+                        direct=direct, slots=slots)
                     return c * 0.9 + v * 0.1 + idx.astype(jnp.float32) * 1e-9
                 return jax.lax.fori_loop(0, n, body, sc)
             return run
@@ -71,6 +71,20 @@ def main():
         except Exception as e:
             print(f"tv={tv:5d} direct={direct!s:5s}  FAILED "
                   f"{type(e).__name__}: {str(e)[:120]}", flush=True)
+
+    # Slot-depth sweep at the default tv/direct: the per-step lax.cond
+    # exactness fallback reruns with depth K when the watermark fires, so
+    # lower depths trade cascade VPU ops against rerun frequency (random
+    # logits fire ~never for sk>=3; in-context firing is what
+    # benchmarks/defer_ab.py measures).
+    for slots in (2, 3, 4, 5):
+        try:
+            dt = bench_delta(make(512, True, slots), scores)
+            print(f"slots={slots}  tv=512 direct=True  {dt * 1e6:8.1f} us",
+                  flush=True)
+        except Exception as e:
+            print(f"slots={slots}  FAILED {type(e).__name__}: {str(e)[:120]}",
+                  flush=True)
 
 
 if __name__ == "__main__":

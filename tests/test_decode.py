@@ -222,3 +222,84 @@ def test_token_tables_beam_and_greedy_match_untabled(setup):
                                    tables=tables)
     np.testing.assert_array_equal(np.asarray(t_toks), np.asarray(g_toks))
     np.testing.assert_array_equal(np.asarray(t_lens), np.asarray(g_lens))
+
+
+@pytest.mark.parametrize("split_len", [1, 5, 12])
+def test_two_phase_beam_matches_single_loop(setup, split_len):
+    """beam_search_two_phase (straggler compaction) is EXACT for any
+    split_len and any chunking: the per-step body is row-local, every
+    unfinished row leaves phase 1 at exactly t = split_len, and frozen
+    rows are no-ops wherever they ride — so re-packed resume reproduces
+    the single-loop result bit for bit (tokens/lengths exactly, scores
+    to 0)."""
+    from vag_nmt_tpu.decode.beam import beam_search_two_phase
+
+    params, m, state = setup
+    ref = beam_search(params, m, state, beam_size=3, max_len=12)
+    res, steps1, steps2 = beam_search_two_phase(
+        params, m, state, beam_size=3, max_len=12, chunk=2,
+        split_len=split_len)
+    np.testing.assert_array_equal(np.asarray(res.tokens),
+                                  np.asarray(ref.tokens))
+    np.testing.assert_array_equal(np.asarray(res.lengths),
+                                  np.asarray(ref.lengths))
+    np.testing.assert_array_equal(np.asarray(res.scores),
+                                  np.asarray(ref.scores))
+    s1 = np.asarray(steps1)
+    assert s1.shape == (3,) and (s1 <= split_len).all()
+    if split_len >= 12:
+        assert int(steps2) == 0
+
+
+def test_two_phase_with_tables_matches(setup):
+    from vag_nmt_tpu.decode.beam import beam_search_two_phase
+    from vag_nmt_tpu.models.decoder import decode_tables
+
+    params, m, state = setup
+    tables = decode_tables(params["decoder"])
+    ref = beam_search(params, m, state, beam_size=4, max_len=12,
+                      tables=tables)
+    res, _, _ = beam_search_two_phase(
+        params, m, state, beam_size=4, max_len=12, chunk=3, split_len=4,
+        tables=tables)
+    np.testing.assert_array_equal(np.asarray(res.tokens),
+                                  np.asarray(ref.tokens))
+    np.testing.assert_array_equal(np.asarray(res.scores),
+                                  np.asarray(ref.scores))
+
+
+def test_eos_top_termination(setup):
+    """beam_finish="eos_top": the sentence stops once its top-ranked beam
+    finishes; the returned best hypothesis must be a FINISHED one whenever
+    any beam finished, and the two-phase compacted search must reproduce
+    the single-loop eos_top results exactly."""
+    from vag_nmt_tpu.decode.beam import beam_search_two_phase
+
+    params, m, state = setup
+    res = beam_search(params, m, state, beam_size=4, max_len=12,
+                      beam_finish="eos_top")
+    ref = beam_search(params, m, state, beam_size=4, max_len=12)
+    toks = np.asarray(res.best_tokens)
+    lens = np.asarray(res.best_lengths)
+    # well-formed: tokens after the hypothesis length are PAD
+    for r in range(toks.shape[0]):
+        assert (toks[r, lens[r]:] == PAD_ID).all()
+    # a finished best hyp ends with <eos> at position len-1
+    fin = np.asarray(res.scores[:, 0]) > -1e8
+    for r in range(toks.shape[0]):
+        if fin[r] and lens[r] <= 12:
+            assert toks[r, lens[r] - 1] == EOS_ID or lens[r] == 12
+    # eos_top can only SHORTEN the search relative to all_frozen
+    assert np.asarray(res.lengths).max() <= np.asarray(ref.lengths).max()
+
+    res2, _, _ = beam_search_two_phase(
+        params, m, state, beam_size=4, max_len=12, chunk=2, split_len=3,
+        beam_finish="eos_top")
+    np.testing.assert_array_equal(np.asarray(res2.tokens),
+                                  np.asarray(res.tokens))
+    np.testing.assert_array_equal(np.asarray(res2.scores),
+                                  np.asarray(res.scores))
+
+    with pytest.raises(ValueError):
+        beam_search(params, m, state, beam_size=4, max_len=12,
+                    beam_finish="bogus")

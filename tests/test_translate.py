@@ -231,3 +231,30 @@ def test_token_tables_fused_corpus_matches(setup, monkeypatch):
         h_on, _ = translate_corpus(params, cfg, examples, vocab,
                                    beam_size=beam)
         assert h_on == h_off
+
+
+def test_two_phase_fused_corpus_matches(setup, monkeypatch):
+    """VAG_TWO_PHASE=on (straggler-compacted decode) must reproduce the
+    default chunked fused decode exactly, including nbest lists, and must
+    report the phase-2 accounting fields."""
+    cfg, params, examples, vocab = setup
+    monkeypatch.setenv("VAG_TWO_PHASE", "off")
+    ref, st_ref = translate_corpus(params, cfg, examples, vocab, beam_size=3)
+    ref_n, _ = translate_corpus(params, cfg, examples, vocab, beam_size=3,
+                                nbest=3)
+    monkeypatch.setenv("VAG_TWO_PHASE", "on")
+    hyp, st = translate_corpus(params, cfg, examples, vocab, beam_size=3)
+    hyp_n, _ = translate_corpus(params, cfg, examples, vocab, beam_size=3,
+                                nbest=3)
+    assert hyp == ref
+    assert hyp_n == ref_n
+    assert st["two_phase"] is True
+    assert "phase2_steps" in st and len(st["phase2_steps"]) >= 1
+    # phase-1 trips are capped at the auto split length max(16, max_len//4)
+    L1 = max(16, cfg.decode.max_len // 4)
+    assert all(s <= L1 for s in st["chunk_steps"])
+    assert st["beam_loop_steps"] == (sum(st["chunk_steps"])
+                                     + sum(st["phase2_steps"]))
+    # greedy ignores the knob (two-phase is beam-only)
+    g_ref, _ = translate_corpus(params, cfg, examples, vocab, beam_size=1)
+    assert "two_phase" not in _

@@ -132,6 +132,33 @@ class DecodeConfig:
     # <=U-1 wasted post-finish steps per chunk; results identical for any U
     # (decode/beam.py). U=4 wins when chunk trip counts are ~>=16.
     beam_unroll: int = 1
+    # Two-phase straggler-compacted beam decode (decode/beam.py
+    # beam_search_two_phase): every chunk decodes to `split_len`, then the
+    # unfinished sentences are re-packed on device into few straggler
+    # chunks that alone resume to max_len. Exact (parity-tested). Wins when
+    # per-chunk trips >> mean hypothesis length (the IKEA long-caption
+    # regime: trips ~121 vs mean 23.7); loses slightly in homogeneous short
+    # regimes (Multi30k trips ~17). "auto" enables it when max_len >= 96;
+    # "on"/"off" force. Env VAG_TWO_PHASE=on/off overrides for A/B.
+    two_phase: str = "auto"
+    # Phase-1 step cap L1 for the two-phase decode; 0 -> max(16, max_len//4).
+    split_len: int = 0
+    # Beam termination semantic (decode/beam.py):
+    #   "all_frozen" (default): a sentence decodes until ALL K beams hold
+    #     finished hypotheses (frozen hyps keep competing in top-k at their
+    #     final score). Most conservative search; the fixed-seed goldens pin
+    #     it. On fuzzy posteriors (under-trained / long-caption regimes) weak
+    #     live beams can outscore their frozen siblings for hundreds of
+    #     steps, so sentences run to max_len (measured: IKEA exercise chunks
+    #     all ran 128/128 trips while mean BEST-hyp length was 29).
+    #   "eos_top": a sentence stops as soon as its top-RANKED hypothesis is
+    #     finished (the 2018-era PyTorch beam implementations' termination:
+    #     OpenNMT-py Beam.done / dl4mt gen_sample stop within a few steps of
+    #     the best hypothesis finishing); unfinished lower beams are masked
+    #     out of the final ranking. [LOW-CONF which variant the reference
+    #     uses — mount empty; results differ only when continued search
+    #     would find a better-normalized hypothesis after the top froze.]
+    beam_finish: str = "all_frozen"
 
 
 @dataclass(frozen=True)

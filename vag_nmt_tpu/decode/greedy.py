@@ -1,7 +1,12 @@
-"""Greedy decoding as a single on-device `lax.scan` (SURVEY.md C12).
+"""Greedy decoding as a single on-device `lax.while_loop` (SURVEY.md C12).
 
 Fixed shapes, no host syncs; finished rows emit <pad> so the output buffer is
-directly de-tokenizable."""
+directly de-tokenizable. The loop exits as soon as every row has emitted
+<eos> — the earlier `lax.scan` version always ran all max_len steps, which
+in the long-caption regime (max_len=128, mean hyp ~24) spent ~80% of its
+steps on finished rows. Results are identical to the scan version (the body
+is the same per-step computation; finished rows are frozen no-ops either
+way)."""
 
 from __future__ import annotations
 
@@ -25,22 +30,29 @@ def greedy_decode(
     tables: optional per-vocab gate/readout tables (decoder.decode_tables)."""
     B = state.s0.shape[0]
 
-    def step(carry, _):
-        tok, s, finished, length = carry
+    def cond(carry):
+        t, finished = carry[0], carry[4]
+        return (t < max_len) & ~jnp.all(finished)
+
+    def body(carry):
+        t, tok, s, tokens, finished, lengths = carry
         # K=1 beam axis; encoder state stays per-sentence
         s_new, logits = decode_step(params, cfg, tok[:, None], s, state,
                                     tables)
         nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
         nxt = jnp.where(finished, PAD_ID, nxt)
+        tokens = tokens.at[:, t].set(nxt)
         now_finished = finished | (nxt == EOS_ID)
-        length = jnp.where(finished, length, length + 1)
-        return (nxt, s_new, now_finished, length), nxt
+        lengths = jnp.where(finished, lengths, lengths + 1)
+        return t + 1, nxt, s_new, tokens, now_finished, lengths
 
     init = (
+        jnp.asarray(0, jnp.int32),
         jnp.full((B,), SOS_ID, jnp.int32),
         state.s0[:, None, :],
+        jnp.full((B, max_len), PAD_ID, jnp.int32),
         jnp.zeros((B,), bool),
         jnp.zeros((B,), jnp.int32),
     )
-    (_, _, _, lengths), toks = jax.lax.scan(step, init, None, length=max_len)
-    return jnp.swapaxes(toks, 0, 1), lengths
+    _, _, _, tokens, _, lengths = jax.lax.while_loop(cond, body, init)
+    return tokens, lengths

@@ -79,19 +79,51 @@ def make_decode_fn(cfg: Config, beam_size: int, max_len: int,
         res = beam_search(params, cfg.model, state, beam_size=beam_size,
                           max_len=max_len,
                           length_norm_alpha=cfg.decode.length_norm_alpha,
-                          tables=tables)
+                          tables=tables,
+                          beam_finish=cfg.decode.beam_finish)
         return res.best_tokens, res.best_lengths
 
     return decode
 
 
+def _use_two_phase(cfg: Config, beam_size: int, max_len: int, mesh) -> bool:
+    """Two-phase straggler-compacted decode (decode/beam.py): resolve the
+    cfg.decode.two_phase policy ("auto" = on iff max_len >= 96, the
+    long-caption regime where per-chunk trips dwarf the mean hypothesis
+    length; measured on IKEA shapes: trips ~121 vs mean hyp 23.7). Env
+    VAG_TWO_PHASE=on/off overrides for A/B. Requires beam > 1; disabled
+    under a mesh (dynamic_slice over the row-sharded axis would force
+    resharding every straggler chunk — the mesh path keeps the plain
+    chunked loop)."""
+    import os
+
+    if beam_size <= 1 or mesh is not None:
+        return False
+    env = os.environ.get("VAG_TWO_PHASE", "")
+    if env in ("on", "1"):
+        return True
+    if env in ("off", "0"):
+        return False
+    mode = cfg.decode.two_phase
+    if mode == "on":
+        return True
+    if mode == "off":
+        return False
+    return max_len >= 96
+
+
 def _make_super_one(cfg: Config, beam_size: int, max_len: int,
-                    multimodal: bool, nbest: bool):
+                    multimodal: bool, nbest: bool,
+                    two_phase: bool = False):
     """Builds the per-super-chunk decode body shared by the single-dispatch
     corpus program and the pipelined per-chunk program. `tables` (per-vocab
     decode tables, or None) is computed ONCE per jitted program by the
     caller and threaded through — recomputing it inside the lax.map body
-    would redo its (V, E) matmuls every super-chunk."""
+    would redo its (V, E) matmuls every super-chunk.
+
+    two_phase: use beam_search_two_phase over the whole super-chunk — the
+    output tuple gains a trailing scalar leaf (phase-2 resume trips) and
+    `steps` becomes the per-chunk PHASE-1 trips."""
     def _beam_one(params, state, tables):
         # `steps` is the chunk's REALIZED while_loop trip count — the
         # loop runs until the LAST of the B*K hypotheses finishes, i.e.
@@ -108,7 +140,8 @@ def _make_super_one(cfg: Config, beam_size: int, max_len: int,
                               beam_size=beam_size, max_len=max_len,
                               length_norm_alpha=cfg.decode.length_norm_alpha,
                               unroll=cfg.decode.beam_unroll,
-                              tables=tables)
+                              tables=tables,
+                              beam_finish=cfg.decode.beam_finish)
             steps = jnp.max(res.lengths).astype(jnp.int32)
             if nbest:
                 # full (B, K, L) hypothesis set + normalized scores,
@@ -134,6 +167,28 @@ def _make_super_one(cfg: Config, beam_size: int, max_len: int,
             batch["img"] = jnp.take(img_table, chunk_ids.reshape(-1),
                                     axis=0)
         state = prepare_decode(params, cfg.model, batch)
+        if two_phase and beam_size > 1:
+            from vag_nmt_tpu.decode.beam import beam_search_two_phase
+
+            L1 = cfg.decode.split_len or max(16, max_len // 4)
+            res, steps1, steps2 = beam_search_two_phase(
+                params, cfg.model, state, beam_size=beam_size,
+                max_len=max_len, chunk=B, split_len=L1,
+                length_norm_alpha=cfg.decode.length_norm_alpha,
+                tables=tables,
+                beam_finish=cfg.decode.beam_finish)
+            if nbest:
+                return (res.tokens.reshape(S, B, beam_size, max_len)
+                        .astype(jnp.uint16),
+                        res.lengths.reshape(S, B, beam_size)
+                        .astype(jnp.int32),
+                        res.scores.reshape(S, B, beam_size)
+                        .astype(jnp.float32),
+                        steps1, steps2[None])
+            return (res.best_tokens.reshape(S, B, max_len)
+                    .astype(jnp.uint16),
+                    res.best_lengths.reshape(S, B).astype(jnp.int32),
+                    steps1, steps2[None])
         state_chunks = jax.tree.map(
             lambda a: a.reshape((S, B) + a.shape[1:]), state)
         return jax.lax.map(lambda st: _beam_one(params, st, tables),
@@ -145,7 +200,8 @@ def _make_super_one(cfg: Config, beam_size: int, max_len: int,
 @lru_cache(maxsize=64)
 def make_fused_corpus_fn(cfg: Config, beam_size: int, max_len: int,
                          multimodal: bool, mesh=None, nbest: bool = False,
-                         packed_spec=None, use_tables: bool = False):
+                         packed_spec=None, use_tables: bool = False,
+                         two_phase: bool = False):
     """ONE jitted program decoding the ENTIRE corpus: lax.map over fixed-size
     chunks of a single padded (n_super, S, B, T_src) token array, image
     features gathered on-device from a resident table. One dispatch + one
@@ -165,7 +221,8 @@ def make_fused_corpus_fn(cfg: Config, beam_size: int, max_len: int,
     DP needs no collectives beyond the while_loop's all-finished reduction —
     GSPMD inserts that. The chunk axes stay unsharded (lax.map is
     sequential by construction)."""
-    super_one = _make_super_one(cfg, beam_size, max_len, multimodal, nbest)
+    super_one = _make_super_one(cfg, beam_size, max_len, multimodal, nbest,
+                                two_phase=two_phase)
 
     def run(params, src, src_lens, ids, img_table):
         # Under a mesh the encoder's Pallas GRU kernel is shard_map'ed over
@@ -225,7 +282,8 @@ def make_fused_corpus_fn(cfg: Config, beam_size: int, max_len: int,
 @lru_cache(maxsize=64)
 def make_fused_superchunk_fn(cfg: Config, beam_size: int, max_len: int,
                              multimodal: bool, nbest: bool = False,
-                             use_tables: bool = False):
+                             use_tables: bool = False,
+                             two_phase: bool = False):
     """Pipelined variant: one jitted program PER SUPER-CHUNK ((S, B, T) in,
     chunk results out). The caller keeps the whole corpus device-resident,
     enqueues all chunk calls back-to-back (async dispatch), and fetches
@@ -234,7 +292,8 @@ def make_fused_superchunk_fn(cfg: Config, beam_size: int, max_len: int,
     the corpus decode's fixed tail (~180 ms measured on the tunneled v5e:
     upload + dispatch + fetch + detok). Numerics identical to the
     single-dispatch program (same super_one body)."""
-    super_one = _make_super_one(cfg, beam_size, max_len, multimodal, nbest)
+    super_one = _make_super_one(cfg, beam_size, max_len, multimodal, nbest,
+                                two_phase=two_phase)
 
     @jax.jit
     def run1(params, s16, lens, chunk_ids, img_table):
@@ -361,11 +420,13 @@ def _translate_fused(params, cfg, examples, tgt_vocab, beam_size, max_len,
     use_pipe = (mesh is None and ns > 1
                 and pipe_env in ("on", "auto", "pipe"))
     use_tab = _use_tables()
+    two_phase = _use_two_phase(cfg, beam_size, max_len, mesh)
     t0 = time.perf_counter()
     if use_pipe:
         run1 = make_fused_superchunk_fn(cfg, beam_size, max_len, multimodal,
                                         nbest=bool(nbest),
-                                        use_tables=use_tab)
+                                        use_tables=use_tab,
+                                        two_phase=two_phase)
         src_d = jax.device_put(src.reshape(ns, S, B, t_src))
         lens_d = jax.device_put(lens_in.reshape(ns, S, B))
         ids_d = jax.device_put(ids.reshape(ns, S, B))
@@ -391,21 +452,24 @@ def _translate_fused(params, cfg, examples, tgt_vocab, beam_size, max_len,
         })
         run = make_fused_corpus_fn(cfg, beam_size, max_len, multimodal, None,
                                    nbest=bool(nbest), packed_spec=spec,
-                                   use_tables=use_tab)
+                                   use_tables=use_tab, two_phase=two_phase)
         raw = run(params, jax.device_put(buf), img_table)
         if nbest:
-            out_spec = leaves_spec([
+            leaves = [
                 (np.uint16, (ns, S, B, beam_size, max_len)),
                 (np.int32, (ns, S, B, beam_size)),
                 (np.float32, (ns, S, B, beam_size)),
                 (np.int32, (ns, S)),
-            ])
+            ]
         else:
-            out_spec = leaves_spec([
+            leaves = [
                 (np.uint16, (ns, S, B, max_len)),
                 (np.int32, (ns, S, B)),
                 (np.int32, (ns, S)),
-            ])
+            ]
+        if two_phase:
+            leaves.append((np.int32, (ns, 1)))   # phase-2 resume trips
+        out_spec = leaves_spec(leaves)
         out = tuple(unpack_leaves_host(np.asarray(jax.device_get(raw)),
                                        out_spec))
     else:
@@ -419,6 +483,9 @@ def _translate_fused(params, cfg, examples, tgt_vocab, beam_size, max_len,
             img_table,
         )
         out = tuple(np.asarray(jax.device_get(x)) for x in raw)
+    phase2_steps = None
+    if two_phase:
+        out, phase2_steps = out[:-1], np.asarray(out[-1]).reshape(-1)
     if nbest:
         toks, lens, scores, chunk_steps = out
         K = toks.shape[-2]         # (.., B, K, L)
@@ -451,12 +518,21 @@ def _translate_fused(params, cfg, examples, tgt_vocab, beam_size, max_len,
 
     stats = {"sentences_per_sec": n / max(elapsed, 1e-9),
              "elapsed_s": elapsed, "sentences": n, "beam_size": beam_size,
-             "beam_loop_steps": int(chunk_steps.sum()),
+             "beam_loop_steps": int(chunk_steps.sum())
+             + (int(phase2_steps.sum()) if phase2_steps is not None else 0),
              # realized while_loop trips per chunk (ascending length order)
              # — the honest record of beam-loop behavior for MFU accounting
-             # and bench realism checks (VERDICT r2 weak #4)
+             # and bench realism checks (VERDICT r2 weak #4). Under the
+             # two-phase decode these are the PHASE-1 trips (capped at
+             # split_len); phase-2 straggler-resume trips are listed per
+             # super-chunk in phase2_steps and included in beam_loop_steps
+             # (each phase-2 trip costs one chunk-width decoder step, same
+             # as a phase-1 trip).
              "chunk_steps": [int(s) for s in chunk_steps.reshape(-1)],
              "n_chunks": nb, "rows_per_chunk": B, "t_src": int(t_src)}
+    if phase2_steps is not None:
+        stats["two_phase"] = True
+        stats["phase2_steps"] = [int(s) for s in phase2_steps]
     if nbest:
         lists: List[List[Tuple[str, float]]] = [[] for _ in range(n)]
         for r, i in enumerate(order):

@@ -49,6 +49,14 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+# Mosaic's default scoped-VMEM budget is 16 MB; at the IKEA regime (V=13381,
+# fp32 params) the depth-K exactness-fallback branch measured 16.11 MB of
+# stack (kernel scratch + double-buffered (E, tv) weight blocks, with BOTH
+# cond branches' kernels allocated in one stack frame), a 116 KB overshoot.
+# 32 MB bounds only the scoped allocation, not total VMEM (128 MB on v5e).
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024)
+
+
 def deferred_exactness_active(K: int) -> bool:
     """Trace-time decision for decode/beam.py: use CHUNK-level deferred
     exactness recovery (carry the watermark flag through the while_loop and
@@ -346,6 +354,7 @@ def fused_readout_topk(
                              pltpu.VMEM((R, 128), jnp.float32)]
                             + [pltpu.VMEM((R, 128), jnp.float32)] * depth
                             + [pltpu.VMEM((R, 128), jnp.int32)] * depth),
+            compiler_params=_COMPILER_PARAMS,
             interpret=_interpret(),
         )(t, w, b.reshape(1, V))
 
