@@ -303,3 +303,62 @@ def test_eos_top_termination(setup):
     with pytest.raises(ValueError):
         beam_search(params, m, state, beam_size=4, max_len=12,
                     beam_finish="bogus")
+
+
+def test_row_cap_freezes_rows_at_their_cap(setup):
+    """max_len_factor semantics: row i freezes at row_cap[i] — lengths and
+    token buffers respect the per-row cap, a cap of max_len is a no-op, and
+    results are identical under two-phase re-packing."""
+    from vag_nmt_tpu.decode.beam import beam_search_two_phase
+
+    params, m, state = setup
+    B = state.s0.shape[0]
+    caps = jnp.asarray([2, 3, 12, 5, 12, 1], jnp.int32)
+    res = beam_search(params, m, state, beam_size=3, max_len=12,
+                      row_cap=caps)
+    lens = np.asarray(res.lengths)
+    for r in range(B):
+        assert (lens[r] <= int(caps[r])).all()
+        assert (np.asarray(res.tokens)[r, :, int(caps[r]):] == PAD_ID).all()
+
+    full = beam_search(params, m, state, beam_size=3, max_len=12)
+    nocap = beam_search(params, m, state, beam_size=3, max_len=12,
+                        row_cap=jnp.full((B,), 12, jnp.int32))
+    np.testing.assert_array_equal(np.asarray(nocap.tokens),
+                                  np.asarray(full.tokens))
+
+    res2, _, _ = beam_search_two_phase(
+        params, m, state, beam_size=3, max_len=12, chunk=2, split_len=4,
+        row_cap=caps)
+    np.testing.assert_array_equal(np.asarray(res2.tokens),
+                                  np.asarray(res.tokens))
+    np.testing.assert_array_equal(np.asarray(res2.scores),
+                                  np.asarray(res.scores))
+
+
+def test_max_len_factor_fused_corpus():
+    """cfg.decode.max_len_factor bounds every hypothesis by its own source
+    length through the fused corpus path."""
+    from vag_nmt_tpu.core.config import preset
+    from vag_nmt_tpu.data.batching import Example
+    from vag_nmt_tpu.data.vocab import Vocab
+    from vag_nmt_tpu.decode.translate import translate_corpus
+    from vag_nmt_tpu.models import init_params
+
+    cfg = preset("toy").replace(decode=dict(max_len_factor=1.0,
+                                            max_len_offset=1))
+    m = cfg.model
+    params = init_params(jax.random.key(0), m)
+    rng = np.random.RandomState(5)
+    exs = []
+    for i in range(9):
+        L = int(rng.randint(2, 9))
+        exs.append(Example(src=list(rng.randint(4, m.src_vocab_size, L)),
+                           img=rng.randn(m.img_feat_dim).astype(np.float32),
+                           index=i))
+    vocab = Vocab(["<pad>", "<unk>", "<sos>", "<eos>"]
+                  + [f"t{i}" for i in range(m.tgt_vocab_size - 4)])
+    hyps, stats = translate_corpus(params, cfg, exs, vocab, beam_size=3)
+    for ex, h in zip(exs, hyps):
+        n_units = len(h.split()) if h else 0
+        assert n_units <= len(ex.src) + 1

@@ -159,6 +159,15 @@ class DecodeConfig:
     #     uses — mount empty; results differ only when continued search
     #     would find a better-normalized hypothesis after the top froze.]
     beam_finish: str = "all_frozen"
+    # Source-relative decode length cap (marian's max-length-factor): row i
+    # freezes at step ceil(max_len_factor * src_len_i) + max_len_offset
+    # (clamped to [1, max_len]). 0.0 disables (default — the reference uses
+    # a flat max_len). Bounds the cost of degenerate never-finishing beams
+    # by each row's own source length instead of the global max_len;
+    # per-ROW semantics, so results are independent of chunk packing and
+    # compose with the two-phase decode.
+    max_len_factor: float = 0.0
+    max_len_offset: int = 0
 
 
 @dataclass(frozen=True)

@@ -40,7 +40,7 @@ class BeamResult(NamedTuple):
 
 
 def _make_body_1(params, cfg, state: DecodeState, tables, mode: str,
-                 max_len: int, eos_top: bool = False):
+                 max_len: int, eos_top: bool = False, row_cap=None):
     """The per-step beam body over the 7-tuple carry
     (t, last_tok (B,K), s (B,K,H), scores (B,K), tokens (B,K,L),
     finished (B,K), lengths (B,K)) — shared by `beam_search`'s while_loop
@@ -51,7 +51,11 @@ def _make_body_1(params, cfg, state: DecodeState, tables, mode: str,
     DecodeConfig.beam_finish) — the moment a sentence's top-RANKED beam
     holds a finished hypothesis, every beam of that sentence freezes, so
     the while_loop's all-finished exit fires within one step of each
-    sentence's best hypothesis finishing instead of waiting for all K."""
+    sentence's best hypothesis finishing instead of waiting for all K.
+    row_cap: optional (B,) int32 per-row step cap (source-relative length
+    limit, core.config DecodeConfig.max_len_factor) — row i's beams freeze
+    at t >= row_cap[i] exactly as they do at max_len. Per-row, so results
+    stay independent of chunk packing."""
     V = cfg.tgt_vocab_size
 
     def body_1(carry):
@@ -61,6 +65,8 @@ def _make_body_1(params, cfg, state: DecodeState, tables, mode: str,
         # no-ops, so scores/lengths of never-finishing rows match the
         # U=1 results.
         finished = finished | (t >= max_len)
+        if row_cap is not None:
+            finished = finished | (t >= row_cap[:, None])
         # Fused decoder-step + candidate-scoring + top-k: finished rows
         # are forced to continue with <pad> at log-prob 0 (they ride
         # along frozen and keep competing), live rows score
@@ -162,8 +168,11 @@ def beam_search(
     unroll: int = 0,
     tables=None,
     beam_finish: str = "all_frozen",
+    row_cap=None,
 ) -> BeamResult:
-    """beam_finish: termination semantic ("all_frozen" | "eos_top"; see
+    """row_cap: optional (B,) int32 per-row step cap (see _make_body_1).
+
+    beam_finish: termination semantic ("all_frozen" | "eos_top"; see
     core.config DecodeConfig.beam_finish). Under "eos_top" a sentence stops
     within one step of its top-ranked hypothesis finishing, and beams still
     unfinished at that point are masked out of the final ranking.
@@ -209,7 +218,7 @@ def beam_search(
 
     def make_body(mode):                 # "plain" | "defer" | "exact"
         body_1 = _make_body_1(params, cfg, state, tables, mode, max_len,
-                              eos_top=eos_top)
+                              eos_top=eos_top, row_cap=row_cap)
         if U > 1:
             def body(carry):
                 for _ in range(U):
@@ -251,6 +260,7 @@ def beam_search_two_phase(
     length_norm_alpha: float = 1.0,
     tables=None,
     beam_finish: str = "all_frozen",
+    row_cap=None,
 ) -> tuple:
     """Two-phase straggler-compacted beam search over N = S*chunk sentences.
 
@@ -313,21 +323,27 @@ def beam_search_two_phase(
     if beam_finish not in ("all_frozen", "eos_top"):
         raise ValueError(f"unknown beam_finish {beam_finish!r}")
     eos_top = beam_finish == "eos_top"
-    body_of = lambda st: _make_body_1(params, cfg, st, tables, "plain",
-                                      max_len, eos_top=eos_top)
+
+    def body_of(st, rc=None):
+        return _make_body_1(params, cfg, st, tables, "plain", max_len,
+                            eos_top=eos_top, row_cap=rc)
 
     # ---- phase 1: per-chunk early-exit loops capped at L1 ----------------
     state_chunks = jax.tree.map(
         lambda a: a.reshape((S, B) + a.shape[1:]), state)
+    cap_chunks = (None if row_cap is None
+                  else row_cap.reshape(S, B))
 
-    def phase1(st):
+    def phase1(args):
+        st, rc = args
+
         def cond(c):
             return (c[0] < L1) & ~jnp.all(c[5])
 
-        return jax.lax.while_loop(cond, body_of(st),
+        return jax.lax.while_loop(cond, body_of(st, rc),
                                   _beam_init(st, K, max_len))
 
-    carries = jax.lax.map(phase1, state_chunks)
+    carries = jax.lax.map(phase1, (state_chunks, cap_chunks))
     steps1 = carries[0]                                       # (S,) exit t
 
     def flat(a):  # (S, B, ...) -> (N, ...)
@@ -335,6 +351,7 @@ def beam_search_two_phase(
 
     packed = tuple(flat(a) for a in carries[1:])
     ctx_p, proj_p, mask_p = state.ctx, state.ctx_proj, state.src_mask
+    cap_p = row_cap
     order = jnp.arange(N, dtype=jnp.int32)    # packed row -> original row
     steps2 = jnp.asarray(0, jnp.int32)
     t_start = L1
@@ -349,6 +366,7 @@ def beam_search_two_phase(
             return jnp.take(a, perm, axis=0)
 
         ctx_p, proj_p, mask_p = take(ctx_p), take(proj_p), take(mask_p)
+        cap_p = None if cap_p is None else take(cap_p)
         order = take(order)
         packed = tuple(take(a) for a in packed)
 
@@ -358,7 +376,7 @@ def beam_search_two_phase(
             return (i < S) & (i * B < n_unfin)
 
         def outer_body(c, ctx_p=ctx_p, proj_p=proj_p, mask_p=mask_p,
-                       t_start=t_start, t_end=t_end):
+                       cap_p=cap_p, t_start=t_start, t_end=t_end):
             i, p2 = c[0], c[1]
             arrs = c[2:]
 
@@ -369,13 +387,14 @@ def beam_search_two_phase(
                              src_mask=sl(mask_p),
                              s0=jnp.zeros((B, arrs[1].shape[-1]),
                                           arrs[1].dtype))
+            rc = None if cap_p is None else sl(cap_p)
             init = (jnp.asarray(t_start, jnp.int32),) + tuple(
                 sl(a) for a in arrs)
 
             def cond(cc):
                 return (cc[0] < t_end) & ~jnp.all(cc[5])
 
-            out = jax.lax.while_loop(cond, body_of(st), init)
+            out = jax.lax.while_loop(cond, body_of(st, rc), init)
             upd = tuple(
                 jax.lax.dynamic_update_slice_in_dim(a, v, i * B, axis=0)
                 for a, v in zip(arrs, out[1:]))

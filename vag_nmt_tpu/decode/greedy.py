@@ -25,9 +25,12 @@ def greedy_decode(
     state: DecodeState,
     max_len: int,
     tables=None,
+    row_cap=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (tokens (B, max_len) int32 padded with PAD, lengths (B,) incl EOS).
-    tables: optional per-vocab gate/readout tables (decoder.decode_tables)."""
+    tables: optional per-vocab gate/readout tables (decoder.decode_tables).
+    row_cap: optional (B,) int32 per-row step cap (source-relative length
+    limit, core.config DecodeConfig.max_len_factor)."""
     B = state.s0.shape[0]
 
     def cond(carry):
@@ -36,6 +39,8 @@ def greedy_decode(
 
     def body(carry):
         t, tok, s, tokens, finished, lengths = carry
+        if row_cap is not None:
+            finished = finished | (t >= row_cap)
         # K=1 beam axis; encoder state stays per-sentence
         s_new, logits = decode_step(params, cfg, tok[:, None], s, state,
                                     tables)

@@ -72,18 +72,33 @@ def make_decode_fn(cfg: Config, beam_size: int, max_len: int,
             batch["img"] = jnp.take(img_table, batch.pop("img_ids"), axis=0)
         state = prepare_decode(params, cfg.model, batch)
         tables = decode_tables(params["decoder"]) if use_tables else None
+        row_cap = _row_caps(cfg, max_len,
+                            batch["src_mask"].sum(axis=-1).astype(jnp.int32))
         if beam_size <= 1:
             toks, lens = greedy_decode(params, cfg.model, state, max_len,
-                                       tables=tables)
+                                       tables=tables, row_cap=row_cap)
             return toks, lens
         res = beam_search(params, cfg.model, state, beam_size=beam_size,
                           max_len=max_len,
                           length_norm_alpha=cfg.decode.length_norm_alpha,
                           tables=tables,
-                          beam_finish=cfg.decode.beam_finish)
+                          beam_finish=cfg.decode.beam_finish,
+                          row_cap=row_cap)
         return res.best_tokens, res.best_lengths
 
     return decode
+
+
+def _row_caps(cfg: Config, max_len: int, lens):
+    """Per-row source-relative decode caps (DecodeConfig.max_len_factor):
+    ceil(factor * src_len) + offset clamped to [1, max_len]; None when the
+    feature is off (factor == 0, the default)."""
+    d = cfg.decode
+    if d.max_len_factor <= 0.0:
+        return None
+    cap = jnp.ceil(d.max_len_factor * lens.astype(jnp.float32)).astype(
+        jnp.int32) + d.max_len_offset
+    return jnp.clip(cap, 1, max_len)
 
 
 def _use_two_phase(cfg: Config, beam_size: int, max_len: int, mesh) -> bool:
@@ -124,7 +139,7 @@ def _make_super_one(cfg: Config, beam_size: int, max_len: int,
     two_phase: use beam_search_two_phase over the whole super-chunk — the
     output tuple gains a trailing scalar leaf (phase-2 resume trips) and
     `steps` becomes the per-chunk PHASE-1 trips."""
-    def _beam_one(params, state, tables):
+    def _beam_one(params, state, tables, row_cap=None):
         # `steps` is the chunk's REALIZED while_loop trip count — the
         # loop runs until the LAST of the B*K hypotheses finishes, i.e.
         # max over ALL beams of the emitted length (a beam's length at
@@ -133,7 +148,7 @@ def _make_super_one(cfg: Config, beam_size: int, max_len: int,
         # the MFU/roofline accounting in bench.py.
         if beam_size <= 1:
             toks, lens = greedy_decode(params, cfg.model, state, max_len,
-                                       tables=tables)
+                                       tables=tables, row_cap=row_cap)
             steps = jnp.max(lens).astype(jnp.int32)
         else:
             res = beam_search(params, cfg.model, state,
@@ -141,7 +156,8 @@ def _make_super_one(cfg: Config, beam_size: int, max_len: int,
                               length_norm_alpha=cfg.decode.length_norm_alpha,
                               unroll=cfg.decode.beam_unroll,
                               tables=tables,
-                              beam_finish=cfg.decode.beam_finish)
+                              beam_finish=cfg.decode.beam_finish,
+                              row_cap=row_cap)
             steps = jnp.max(res.lengths).astype(jnp.int32)
             if nbest:
                 # full (B, K, L) hypothesis set + normalized scores,
@@ -167,6 +183,7 @@ def _make_super_one(cfg: Config, beam_size: int, max_len: int,
             batch["img"] = jnp.take(img_table, chunk_ids.reshape(-1),
                                     axis=0)
         state = prepare_decode(params, cfg.model, batch)
+        row_cap = _row_caps(cfg, max_len, lens.reshape(S * B))
         if two_phase and beam_size > 1:
             from vag_nmt_tpu.decode.beam import beam_search_two_phase
 
@@ -176,7 +193,8 @@ def _make_super_one(cfg: Config, beam_size: int, max_len: int,
                 max_len=max_len, chunk=B, split_len=L1,
                 length_norm_alpha=cfg.decode.length_norm_alpha,
                 tables=tables,
-                beam_finish=cfg.decode.beam_finish)
+                beam_finish=cfg.decode.beam_finish,
+                row_cap=row_cap)
             if nbest:
                 return (res.tokens.reshape(S, B, beam_size, max_len)
                         .astype(jnp.uint16),
@@ -191,8 +209,11 @@ def _make_super_one(cfg: Config, beam_size: int, max_len: int,
                     steps1, steps2[None])
         state_chunks = jax.tree.map(
             lambda a: a.reshape((S, B) + a.shape[1:]), state)
-        return jax.lax.map(lambda st: _beam_one(params, st, tables),
-                           state_chunks)
+        cap_chunks = (None if row_cap is None
+                      else row_cap.reshape(S, B))
+        return jax.lax.map(
+            lambda a: _beam_one(params, a[0], tables, row_cap=a[1]),
+            (state_chunks, cap_chunks))
 
     return super_one
 
