@@ -362,3 +362,46 @@ def test_max_len_factor_fused_corpus():
     for ex, h in zip(exs, hyps):
         n_units = len(h.split()) if h else 0
         assert n_units <= len(ex.src) + 1
+
+
+@pytest.mark.parametrize("slots,thresh", [(2, 1), (3, 2), (6, 1), (4, 0)])
+def test_streaming_beam_matches_single_loop(setup, slots, thresh):
+    """beam_search_streaming (continuous-batching refill) is EXACT: each
+    row's carry evolves identically whatever slot it rides in, so results
+    match the plain chunked search bit for bit for any slot count and
+    refill threshold."""
+    from vag_nmt_tpu.decode.beam import beam_search_streaming
+
+    params, m, state = setup
+    ref = beam_search(params, m, state, beam_size=3, max_len=12)
+    res, steps, refills = beam_search_streaming(
+        params, m, state, beam_size=3, max_len=12, slots=slots,
+        refill_threshold=thresh)
+    np.testing.assert_array_equal(np.asarray(res.tokens),
+                                  np.asarray(ref.tokens))
+    np.testing.assert_array_equal(np.asarray(res.lengths),
+                                  np.asarray(ref.lengths))
+    np.testing.assert_array_equal(np.asarray(res.scores),
+                                  np.asarray(ref.scores))
+    assert int(steps) >= 12  # at least one slot-generation of work
+    assert int(refills) >= 0
+
+
+def test_streaming_beam_with_caps_tables_eos_top(setup):
+    from vag_nmt_tpu.decode.beam import beam_search_streaming
+    from vag_nmt_tpu.models.decoder import decode_tables
+
+    params, m, state = setup
+    B = state.s0.shape[0]
+    caps = jnp.asarray([2, 12, 3, 12, 5, 1], jnp.int32)
+    tables = decode_tables(params["decoder"])
+    ref = beam_search(params, m, state, beam_size=3, max_len=12,
+                      tables=tables, beam_finish="eos_top", row_cap=caps)
+    res, _, _ = beam_search_streaming(
+        params, m, state, beam_size=3, max_len=12, slots=2,
+        refill_threshold=1, tables=tables, beam_finish="eos_top",
+        row_cap=caps)
+    np.testing.assert_array_equal(np.asarray(res.tokens),
+                                  np.asarray(ref.tokens))
+    np.testing.assert_array_equal(np.asarray(res.scores),
+                                  np.asarray(ref.scores))

@@ -258,3 +258,63 @@ def test_two_phase_fused_corpus_matches(setup, monkeypatch):
     # greedy ignores the knob (two-phase is beam-only)
     g_ref, _ = translate_corpus(params, cfg, examples, vocab, beam_size=1)
     assert "two_phase" not in _
+
+
+def test_two_phase_policy_resolution(monkeypatch):
+    """_use_two_phase: env > cfg; mesh and greedy force it off."""
+    from vag_nmt_tpu.core.config import preset
+    from vag_nmt_tpu.decode.translate import _use_two_phase
+
+    cfg = preset("toy")
+    monkeypatch.delenv("VAG_TWO_PHASE", raising=False)
+    assert _use_two_phase(cfg, 5, 128, None) is True      # auto, long
+    assert _use_two_phase(cfg, 5, 64, None) is False      # auto, short
+    assert _use_two_phase(cfg, 1, 128, None) is False     # greedy
+    assert _use_two_phase(cfg, 5, 128, object()) is False  # mesh
+    on = cfg.replace(decode=dict(two_phase="on"))
+    off = cfg.replace(decode=dict(two_phase="off"))
+    assert _use_two_phase(on, 5, 8, None) is True
+    assert _use_two_phase(off, 5, 128, None) is False
+    monkeypatch.setenv("VAG_TWO_PHASE", "off")
+    assert _use_two_phase(on, 5, 128, None) is False
+    monkeypatch.setenv("VAG_TWO_PHASE", "on")
+    assert _use_two_phase(off, 5, 8, None) is True
+
+
+def test_two_phase_nbest_eos_top_matches(setup, monkeypatch):
+    """nbest lists under eos_top are identical with and without the
+    two-phase compaction (exactness holds per termination semantic)."""
+    cfg, params, examples, vocab = setup
+    cfg = cfg.replace(decode=dict(beam_finish="eos_top"))
+    monkeypatch.setenv("VAG_TWO_PHASE", "off")
+    ref, _ = translate_corpus(params, cfg, examples, vocab, beam_size=3,
+                              nbest=3)
+    monkeypatch.setenv("VAG_TWO_PHASE", "on")
+    out, st = translate_corpus(params, cfg, examples, vocab, beam_size=3,
+                               nbest=3)
+    assert out == ref
+    assert st["two_phase"] is True
+
+
+def test_streaming_fused_corpus_matches(setup, monkeypatch):
+    """VAG_STREAM_DECODE=on (continuous-batching refill decode) reproduces
+    the chunked fused decode exactly, including nbest, and reports the
+    streaming accounting fields."""
+    cfg, params, examples, vocab = setup
+    monkeypatch.setenv("VAG_STREAM_DECODE", "off")
+    ref, st_ref = translate_corpus(params, cfg, examples, vocab, beam_size=3)
+    ref_n, _ = translate_corpus(params, cfg, examples, vocab, beam_size=3,
+                                nbest=3)
+    monkeypatch.setenv("VAG_STREAM_DECODE", "on")
+    hyp, st = translate_corpus(params, cfg, examples, vocab, beam_size=3)
+    hyp_n, _ = translate_corpus(params, cfg, examples, vocab, beam_size=3,
+                                nbest=3)
+    assert hyp == ref
+    assert hyp_n == ref_n
+    assert st["streaming"] is True
+    assert len(st["refills"]) >= 1
+    # the accounting fields are present and sane (streaming can do a few
+    # MORE slot-steps than the chunked loops on tiny corpora: refill
+    # hysteresis lets finished rows ride, and the drain tail has no chunk
+    # boundary to exit at — the win appears when n_chunks is large)
+    assert st["beam_loop_steps"] > 0

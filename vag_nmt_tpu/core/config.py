@@ -168,6 +168,20 @@ class DecodeConfig:
     # compose with the two-phase decode.
     max_len_factor: float = 0.0
     max_len_offset: int = 0
+    # Streaming-refill decode (decode/beam.py beam_search_streaming):
+    # continuous batching for beam search — one while_loop over a fixed
+    # working set that refills finished rows from the corpus pool. Exact
+    # (parity-tested). Auto resolves OFF: the offline fused path sorts by
+    # source length, which makes per-chunk service times near-homogeneous,
+    # and streaming measured NO trip reduction there at ~10-20% extra
+    # per-step cost (see beam_search_streaming's docstring for numbers).
+    # Opt in ("on" / env VAG_STREAM_DECODE) for unsorted or online
+    # workloads, where chunk quantization costs ~max_len per mixed chunk.
+    # Takes precedence over two_phase when both resolve on.
+    streaming: str = "auto"
+    # Refill hysteresis: refill when >= this many working rows finished
+    # (0 -> rows//4). Lower = tighter packing but more compaction events.
+    refill_threshold: int = 0
 
 
 @dataclass(frozen=True)

@@ -55,18 +55,26 @@ def _make_body_1(params, cfg, state: DecodeState, tables, mode: str,
     row_cap: optional (B,) int32 per-row step cap (source-relative length
     limit, core.config DecodeConfig.max_len_factor) — row i's beams freeze
     at t >= row_cap[i] exactly as they do at max_len. Per-row, so results
-    stay independent of chunk packing."""
+    stay independent of chunk packing.
+
+    The carry's t may be a scalar (all rows in step, the chunked loops) or
+    a (B,) int32 vector of PER-ROW decode positions (the streaming-refill
+    loop, where each working slot is at its own step): the same row-local
+    arithmetic applies — freezing compares per row, and the token write
+    lands at each row's own position via a one-hot mask over the length
+    axis instead of a shared index."""
     V = cfg.tgt_vocab_size
 
     def body_1(carry):
         t, last_tok, s, scores, tokens, finished, lengths = carry[:7]
+        t_col = t if jnp.ndim(t) == 0 else t[:, None]       # (B,1) when vec
         # Steps past max_len exist only inside a partially-finished
         # unroll block; freezing every row there makes them exact
         # no-ops, so scores/lengths of never-finishing rows match the
         # U=1 results.
-        finished = finished | (t >= max_len)
+        finished = finished | (t_col >= max_len)
         if row_cap is not None:
-            finished = finished | (t >= row_cap[:, None])
+            finished = finished | (t_col >= row_cap[:, None])
         # Fused decoder-step + candidate-scoring + top-k: finished rows
         # are forced to continue with <pad> at log-prob 0 (they ride
         # along frozen and keep competing), live rows score
@@ -97,7 +105,17 @@ def _make_body_1(params, cfg, state: DecodeState, tables, mode: str,
         fin_sel = sel(finished[..., None])[..., 0]
         len_sel = sel(lengths[..., None])[..., 0]
 
-        tokens = tokens.at[:, :, t].set(tok)   # finished rows wrote PAD
+        if jnp.ndim(t) == 0:
+            tokens = tokens.at[:, :, t].set(tok)   # finished rows wrote PAD
+        else:
+            # per-row positions: one-hot write over the length axis. Rows
+            # whose t has run past the buffer match no lane and write
+            # nothing (they are frozen; a clamped write would let their
+            # PAD overwrite the last real token of a max_len hypothesis).
+            L = tokens.shape[-1]
+            hit = (jax.lax.broadcasted_iota(jnp.int32, (1, 1, L), 2)
+                   == t[:, None, None])
+            tokens = jnp.where(hit, tok[:, :, None], tokens)
         lengths = jnp.where(fin_sel, len_sel, len_sel + 1)
         finished = fin_sel | (tok == EOS_ID)
         if eos_top:
@@ -266,10 +284,14 @@ def beam_search_two_phase(
 
     The fixed-shape chunked decode pays each chunk's while_loop until its
     SLOWEST row finishes — in the long-caption regime (IKEA, max_len=128)
-    measured per-chunk trips were 119–123 while the MEAN hypothesis length
-    was 23.7: every 128-row chunk contains a straggler, so ~80% of all beam
-    steps processed rows that were already finished. This search splits the
-    work at `split_len` (L1):
+    measured per-chunk trips were 119–128 while the MEAN best-hypothesis
+    length was 24–30: chunk cost is set by straggler rows, not typical
+    rows. This search converts that worst-row cost toward near-mean cost
+    WHEN stragglers are a minority (step-exact accounting on the IKEA
+    exercise checkpoint showed its posterior is the other regime — ~90% of
+    sentences keep a live weak beam past t=64 — where no packing can help;
+    see docs/architecture.md "Straggler anatomy"). It splits the work at
+    `split_len` (L1):
 
       phase 1: each of the S chunks runs its own early-exit while_loop for
                at most L1 steps (a chunk whose rows all finish earlier still
@@ -418,3 +440,197 @@ def beam_search_two_phase(
     return (_finalize(tokens, lengths, scores, max_len, length_norm_alpha,
                       finished=finished if eos_top else None),
             steps1.astype(jnp.int32), steps2)
+
+
+def beam_search_streaming(
+    params: Dict[str, Any],
+    cfg: ModelConfig,
+    state: DecodeState,
+    *,
+    beam_size: int,
+    max_len: int,
+    slots: int,
+    refill_threshold: int = 0,
+    length_norm_alpha: float = 1.0,
+    tables=None,
+    beam_finish: str = "all_frozen",
+    row_cap=None,
+) -> tuple:
+    """Streaming-refill beam search over an N-sentence pool (continuous
+    batching for beam search, cf. "A Streaming Approach For Efficient
+    Batched Beam Search", arXiv:2010.02164, adapted to fixed XLA shapes).
+
+    The chunked decode quantizes the corpus into fixed chunks and pays each
+    chunk until its slowest row finishes; the two-phase ladder reduces that
+    to near-mean cost at rung granularity. This path removes the chunk
+    quantization entirely: a fixed working set of `slots` rows decodes in
+    ONE while_loop, and whenever at least `refill_threshold` sentences in
+    the set are finished, a lax.cond-gated refill (so the loop's hot path
+    pays nothing when it does not fire) compacts live rows to the front
+    (stable argsort), scatters the finished rows' results into per-pool-row
+    output buffers, and pulls the next sentences' encoder state from the
+    pool. Total trips approach sum(service_i)/slots — the streaming
+    optimum — instead of sum over chunks of max(service in chunk), where a
+    row's SERVICE TIME is the steps until its termination semantic fires.
+
+    MEASURED NEGATIVE RESULT for the offline fused path (default therefore
+    OFF, VAG_STREAM_DECODE/decode.streaming opt in): translate sorts the
+    corpus by source length, and service time is strongly length-
+    correlated (under "all_frozen" it is the all-beams-freeze time, not
+    the hypothesis length), so sorted chunks are already near-homogeneous
+    in service time and chunked max ~= streaming mean. On the m30k
+    exercise checkpoint (real heterogeneous trips 24-64/chunk) streaming
+    did 341 slot-steps vs chunked 334 (riding between refills + the
+    drain tail) at ~10% extra per-step cost (vector-t body, bigger
+    carry); at the sorted-homogeneous driver bench it measured 15.6k vs
+    20.4k sent/s. Its regime is UNSORTED or online/continuous workloads,
+    where chunk quantization costs ~max_len per mixed chunk — there the
+    pool refill is the right architecture (cf. the paper).
+
+    EXACT per sentence: the step body is row-local and each row's carry
+    evolves identically whatever slot it rides in (same argument as
+    beam_search_two_phase; per-row t replaces the shared step counter, and
+    frozen rows are value-preserving no-ops until replaced). Runs
+    mode="plain" bodies; the deferred-exactness knob is ignored here.
+
+    refill_threshold: 0 -> slots // 4 (hysteresis: refilling every step
+    would pay the compaction gathers ~every step; waiting for ~25% of the
+    set amortizes them at a small extra ride cost for finished rows).
+
+    Returns (BeamResult over the N pool rows (pool order), steps () int32
+    realized while_loop trips — each costs one `slots`-row decoder step —
+    and refills () int32 refill events)."""
+    if beam_finish not in ("all_frozen", "eos_top"):
+        raise ValueError(f"unknown beam_finish {beam_finish!r}")
+    eos_top = beam_finish == "eos_top"
+    N = state.s0.shape[0]
+    W = min(slots, N)
+    K = beam_size
+    R = refill_threshold if refill_threshold > 0 else max(1, W // 4)
+    R = min(R, W)
+
+    pool_ctx, pool_proj, pool_mask, pool_s0 = (
+        state.ctx, state.ctx_proj, state.src_mask, state.s0)
+
+    def fresh_scores(n):
+        return jnp.tile(
+            jnp.asarray([0.0] + [NEG_INF] * (K - 1), jnp.float32), (n, 1))
+
+    # Working set starts as pool rows [0, W).
+    init = (
+        jnp.arange(W, dtype=jnp.int32),                      # ids
+        jnp.zeros((W,), jnp.int32),                          # t (per row)
+        jnp.full((W, K), SOS_ID, jnp.int32),                 # last_tok
+        jnp.broadcast_to(pool_s0[:W, None, :],
+                         (W, K, pool_s0.shape[-1])),         # s
+        fresh_scores(W),                                     # scores
+        jnp.full((W, K, max_len), PAD_ID, jnp.int32),        # hist
+        jnp.zeros((W, K), bool),                             # finished
+        jnp.zeros((W, K), jnp.int32),                        # lengths
+        pool_ctx[:W], pool_proj[:W], pool_mask[:W],          # working state
+        (None if row_cap is None else row_cap[:W]),          # cap_w
+        jnp.asarray(W, jnp.int32),                           # next
+        jnp.asarray(0, jnp.int32),                           # steps
+        jnp.asarray(0, jnp.int32),                           # refills
+        # per-pool-row outputs (+1 scratch row for live/sentinel dumps)
+        jnp.full((N + 1, K, max_len), PAD_ID, jnp.int32),
+        jnp.zeros((N + 1, K), jnp.float32),
+        jnp.zeros((N + 1, K), bool),
+        jnp.zeros((N + 1, K), jnp.int32),
+    )
+
+    def cond(c):
+        nxt, finished = c[12], c[6]
+        return (nxt < N) | ~jnp.all(finished)
+
+    def body(c):
+        (ids, t, last_tok, s, scores, hist, finished, lengths,
+         ctx_w, proj_w, mask_w, cap_w, nxt, steps, refills,
+         o_tok, o_sc, o_fin, o_len) = c
+        st = DecodeState(ctx=ctx_w, ctx_proj=proj_w, src_mask=mask_w,
+                         s0=jnp.zeros((W, s.shape[-1]), s.dtype))
+        step1 = _make_body_1(params, cfg, st, tables, "plain", max_len,
+                             eos_top=eos_top, row_cap=cap_w)
+        t, last_tok, s, scores, hist, finished, lengths = step1(
+            (t, last_tok, s, scores, hist, finished, lengths))
+
+        fin_sent = jnp.all(finished, axis=1)                 # (W,)
+        n_fin = jnp.sum(fin_sent).astype(jnp.int32)
+
+        def refill(args):
+            (ids, t, last_tok, s, scores, hist, finished, lengths,
+             ctx_w, proj_w, mask_w, cap_w, nxt, refills,
+             o_tok, o_sc, o_fin, o_len) = args
+            perm = jnp.argsort(fin_sent.astype(jnp.int32), stable=True)
+
+            def tk(a):
+                return None if a is None else jnp.take(a, perm, axis=0)
+
+            (ids, t, last_tok, s, scores, hist, finished, lengths,
+             ctx_w, proj_w, mask_w, cap_w) = map(
+                tk, (ids, t, last_tok, s, scores, hist, finished, lengths,
+                     ctx_w, proj_w, mask_w, cap_w))
+            slot = jnp.arange(W, dtype=jnp.int32)
+            n_live = W - n_fin
+            is_refill = slot >= n_live
+            # Emit the replaced (finished) rows; everything else dumps into
+            # scratch row N.
+            emit_idx = jnp.where(is_refill, ids, N)
+            o_tok = o_tok.at[emit_idx].set(hist)
+            o_sc = o_sc.at[emit_idx].set(scores)
+            o_fin = o_fin.at[emit_idx].set(finished)
+            o_len = o_len.at[emit_idx].set(lengths)
+            # Issue the next pool rows (row id N = exhausted sentinel).
+            cand = nxt + slot - n_live
+            sent = cand >= N
+            new_ids = jnp.where(is_refill, jnp.where(sent, N, cand), ids)
+            gid = jnp.minimum(new_ids, N - 1)
+
+            def pull(pool, work, extra_dims):
+                fresh = jnp.take(pool, gid, axis=0)
+                m = is_refill.reshape((W,) + (1,) * extra_dims)
+                return jnp.where(m, fresh, work)
+
+            ctx_w = pull(pool_ctx, ctx_w, 2)
+            proj_w = pull(pool_proj, proj_w, 2)
+            mask_w = pull(pool_mask, mask_w, 1)
+            if cap_w is not None:
+                cap_w = pull(row_cap, cap_w, 0)
+            s = pull(jnp.broadcast_to(pool_s0[:, None, :],
+                                      (N, K, pool_s0.shape[-1])), s, 2)
+            dead = (is_refill & sent)[:, None]
+            t = jnp.where(is_refill, 0, t)
+            last_tok = jnp.where(is_refill[:, None], SOS_ID, last_tok)
+            scores = jnp.where(is_refill[:, None], fresh_scores(W), scores)
+            hist = jnp.where(is_refill[:, None, None], PAD_ID, hist)
+            finished = jnp.where(is_refill[:, None], dead, finished)
+            lengths = jnp.where(is_refill[:, None], 0, lengths)
+            nxt = jnp.minimum(jnp.asarray(N, jnp.int32), nxt + n_fin)
+            return (new_ids, t, last_tok, s, scores, hist, finished,
+                    lengths, ctx_w, proj_w, mask_w, cap_w, nxt, refills + 1,
+                    o_tok, o_sc, o_fin, o_len)
+
+        args = (ids, t, last_tok, s, scores, hist, finished, lengths,
+                ctx_w, proj_w, mask_w, cap_w, nxt, refills,
+                o_tok, o_sc, o_fin, o_len)
+        out = jax.lax.cond((n_fin >= R) & (nxt < N), refill,
+                           lambda a: a, args)
+        (ids, t, last_tok, s, scores, hist, finished, lengths,
+         ctx_w, proj_w, mask_w, cap_w, nxt, refills,
+         o_tok, o_sc, o_fin, o_len) = out
+        return (ids, t, last_tok, s, scores, hist, finished, lengths,
+                ctx_w, proj_w, mask_w, cap_w, nxt, steps + 1, refills,
+                o_tok, o_sc, o_fin, o_len)
+
+    fin = jax.lax.while_loop(cond, body, init)
+    (ids, _, _, _, scores, hist, finished, lengths,
+     _, _, _, _, _, steps, refills, o_tok, o_sc, o_fin, o_len) = fin
+    # Final emission: every resident slot holds a distinct pool row.
+    o_tok = o_tok.at[ids].set(hist)
+    o_sc = o_sc.at[ids].set(scores)
+    o_fin = o_fin.at[ids].set(finished)
+    o_len = o_len.at[ids].set(lengths)
+    res = _finalize(o_tok[:N], o_len[:N], o_sc[:N], max_len,
+                    length_norm_alpha,
+                    finished=o_fin[:N] if eos_top else None)
+    return res, steps, refills

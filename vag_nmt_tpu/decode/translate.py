@@ -101,6 +101,27 @@ def _row_caps(cfg: Config, max_len: int, lens):
     return jnp.clip(cap, 1, max_len)
 
 
+def _use_streaming(cfg: Config, beam_size: int, mesh) -> bool:
+    """Streaming-refill decode policy (decode/beam.py
+    beam_search_streaming). Env VAG_STREAM_DECODE=on/off overrides
+    cfg.decode.streaming; "auto" currently resolves OFF pending the
+    measured default (see benchmarks + README). Beam-only; disabled under
+    a mesh (the refill's pool gathers would reshard every event)."""
+    import os
+
+    if beam_size <= 1 or mesh is not None:
+        return False
+    env = os.environ.get("VAG_STREAM_DECODE", "")
+    if env in ("on", "1"):
+        return True
+    if env in ("off", "0"):
+        return False
+    mode = cfg.decode.streaming
+    if mode == "on":
+        return True
+    return False
+
+
 def _use_two_phase(cfg: Config, beam_size: int, max_len: int, mesh) -> bool:
     """Two-phase straggler-compacted decode (decode/beam.py): resolve the
     cfg.decode.two_phase policy ("auto" = on iff max_len >= 96, the
@@ -129,7 +150,7 @@ def _use_two_phase(cfg: Config, beam_size: int, max_len: int, mesh) -> bool:
 
 def _make_super_one(cfg: Config, beam_size: int, max_len: int,
                     multimodal: bool, nbest: bool,
-                    two_phase: bool = False):
+                    two_phase: bool = False, streaming: bool = False):
     """Builds the per-super-chunk decode body shared by the single-dispatch
     corpus program and the pipelined per-chunk program. `tables` (per-vocab
     decode tables, or None) is computed ONCE per jitted program by the
@@ -138,7 +159,12 @@ def _make_super_one(cfg: Config, beam_size: int, max_len: int,
 
     two_phase: use beam_search_two_phase over the whole super-chunk — the
     output tuple gains a trailing scalar leaf (phase-2 resume trips) and
-    `steps` becomes the per-chunk PHASE-1 trips."""
+    `steps` becomes the per-chunk PHASE-1 trips.
+
+    streaming: use beam_search_streaming over the whole super-chunk pool
+    (takes precedence over two_phase) — `steps` becomes ONE total trip
+    count per super-chunk (shape (1,)) and the output gains a (1,) refill
+    count."""
     def _beam_one(params, state, tables, row_cap=None):
         # `steps` is the chunk's REALIZED while_loop trip count — the
         # loop runs until the LAST of the B*K hypotheses finishes, i.e.
@@ -184,6 +210,29 @@ def _make_super_one(cfg: Config, beam_size: int, max_len: int,
                                     axis=0)
         state = prepare_decode(params, cfg.model, batch)
         row_cap = _row_caps(cfg, max_len, lens.reshape(S * B))
+        if streaming and beam_size > 1:
+            from vag_nmt_tpu.decode.beam import beam_search_streaming
+
+            res, steps, refills = beam_search_streaming(
+                params, cfg.model, state, beam_size=beam_size,
+                max_len=max_len, slots=B,
+                refill_threshold=cfg.decode.refill_threshold,
+                length_norm_alpha=cfg.decode.length_norm_alpha,
+                tables=tables,
+                beam_finish=cfg.decode.beam_finish,
+                row_cap=row_cap)
+            if nbest:
+                return (res.tokens.reshape(S, B, beam_size, max_len)
+                        .astype(jnp.uint16),
+                        res.lengths.reshape(S, B, beam_size)
+                        .astype(jnp.int32),
+                        res.scores.reshape(S, B, beam_size)
+                        .astype(jnp.float32),
+                        steps[None], refills[None])
+            return (res.best_tokens.reshape(S, B, max_len)
+                    .astype(jnp.uint16),
+                    res.best_lengths.reshape(S, B).astype(jnp.int32),
+                    steps[None], refills[None])
         if two_phase and beam_size > 1:
             from vag_nmt_tpu.decode.beam import beam_search_two_phase
 
@@ -222,7 +271,7 @@ def _make_super_one(cfg: Config, beam_size: int, max_len: int,
 def make_fused_corpus_fn(cfg: Config, beam_size: int, max_len: int,
                          multimodal: bool, mesh=None, nbest: bool = False,
                          packed_spec=None, use_tables: bool = False,
-                         two_phase: bool = False):
+                         two_phase: bool = False, streaming: bool = False):
     """ONE jitted program decoding the ENTIRE corpus: lax.map over fixed-size
     chunks of a single padded (n_super, S, B, T_src) token array, image
     features gathered on-device from a resident table. One dispatch + one
@@ -243,7 +292,7 @@ def make_fused_corpus_fn(cfg: Config, beam_size: int, max_len: int,
     GSPMD inserts that. The chunk axes stay unsharded (lax.map is
     sequential by construction)."""
     super_one = _make_super_one(cfg, beam_size, max_len, multimodal, nbest,
-                                two_phase=two_phase)
+                                two_phase=two_phase, streaming=streaming)
 
     def run(params, src, src_lens, ids, img_table):
         # Under a mesh the encoder's Pallas GRU kernel is shard_map'ed over
@@ -304,7 +353,8 @@ def make_fused_corpus_fn(cfg: Config, beam_size: int, max_len: int,
 def make_fused_superchunk_fn(cfg: Config, beam_size: int, max_len: int,
                              multimodal: bool, nbest: bool = False,
                              use_tables: bool = False,
-                             two_phase: bool = False):
+                             two_phase: bool = False,
+                             streaming: bool = False):
     """Pipelined variant: one jitted program PER SUPER-CHUNK ((S, B, T) in,
     chunk results out). The caller keeps the whole corpus device-resident,
     enqueues all chunk calls back-to-back (async dispatch), and fetches
@@ -314,7 +364,7 @@ def make_fused_superchunk_fn(cfg: Config, beam_size: int, max_len: int,
     upload + dispatch + fetch + detok). Numerics identical to the
     single-dispatch program (same super_one body)."""
     super_one = _make_super_one(cfg, beam_size, max_len, multimodal, nbest,
-                                two_phase=two_phase)
+                                two_phase=two_phase, streaming=streaming)
 
     @jax.jit
     def run1(params, s16, lens, chunk_ids, img_table):
@@ -441,13 +491,16 @@ def _translate_fused(params, cfg, examples, tgt_vocab, beam_size, max_len,
     use_pipe = (mesh is None and ns > 1
                 and pipe_env in ("on", "auto", "pipe"))
     use_tab = _use_tables()
-    two_phase = _use_two_phase(cfg, beam_size, max_len, mesh)
+    streaming = _use_streaming(cfg, beam_size, mesh)
+    two_phase = (not streaming) and _use_two_phase(cfg, beam_size, max_len,
+                                                   mesh)
     t0 = time.perf_counter()
     if use_pipe:
         run1 = make_fused_superchunk_fn(cfg, beam_size, max_len, multimodal,
                                         nbest=bool(nbest),
                                         use_tables=use_tab,
-                                        two_phase=two_phase)
+                                        two_phase=two_phase,
+                                        streaming=streaming)
         src_d = jax.device_put(src.reshape(ns, S, B, t_src))
         lens_d = jax.device_put(lens_in.reshape(ns, S, B))
         ids_d = jax.device_put(ids.reshape(ns, S, B))
@@ -473,7 +526,8 @@ def _translate_fused(params, cfg, examples, tgt_vocab, beam_size, max_len,
         })
         run = make_fused_corpus_fn(cfg, beam_size, max_len, multimodal, None,
                                    nbest=bool(nbest), packed_spec=spec,
-                                   use_tables=use_tab, two_phase=two_phase)
+                                   use_tables=use_tab, two_phase=two_phase,
+                                   streaming=streaming)
         raw = run(params, jax.device_put(buf), img_table)
         if nbest:
             leaves = [
@@ -488,7 +542,11 @@ def _translate_fused(params, cfg, examples, tgt_vocab, beam_size, max_len,
                 (np.int32, (ns, S, B)),
                 (np.int32, (ns, S)),
             ]
-        if two_phase:
+        if streaming:
+            # steps totals replace per-chunk trips; plus refill counts
+            leaves[-1] = (np.int32, (ns, 1))
+            leaves.append((np.int32, (ns, 1)))
+        elif two_phase:
             leaves.append((np.int32, (ns, 1)))   # phase-2 resume trips
         out_spec = leaves_spec(leaves)
         out = tuple(unpack_leaves_host(np.asarray(jax.device_get(raw)),
@@ -505,7 +563,10 @@ def _translate_fused(params, cfg, examples, tgt_vocab, beam_size, max_len,
         )
         out = tuple(np.asarray(jax.device_get(x)) for x in raw)
     phase2_steps = None
-    if two_phase:
+    refill_counts = None
+    if streaming:
+        out, refill_counts = out[:-1], np.asarray(out[-1]).reshape(-1)
+    elif two_phase:
         out, phase2_steps = out[:-1], np.asarray(out[-1]).reshape(-1)
     if nbest:
         toks, lens, scores, chunk_steps = out
@@ -554,6 +615,10 @@ def _translate_fused(params, cfg, examples, tgt_vocab, beam_size, max_len,
     if phase2_steps is not None:
         stats["two_phase"] = True
         stats["phase2_steps"] = [int(s) for s in phase2_steps]
+    if refill_counts is not None:
+        # streaming: chunk_steps held per-SUPER-chunk trip totals
+        stats["streaming"] = True
+        stats["refills"] = [int(r) for r in refill_counts]
     if nbest:
         lists: List[List[Tuple[str, float]]] = [[] for _ in range(n)]
         for r, i in enumerate(order):
