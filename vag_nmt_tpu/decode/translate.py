@@ -439,15 +439,25 @@ def _translate_fused(params, cfg, examples, tgt_vocab, beam_size, max_len,
             f"be < 65536 (got src={cfg.model.src_vocab_size}, "
             f"tgt={cfg.model.tgt_vocab_size})")
 
+    # Ragged->padded WITHOUT a per-row numpy loop: at corpus scale the row
+    # loop's ~4096 small-array assignments cost ~10-20 ms INSIDE the timed
+    # region (measured; the whole device decode is ~100 ms), so the fill is
+    # one flat fromiter + one fancy-index scatter.
     src = np.zeros((nb * B, t_src), np.uint16)
     lens_in = np.zeros((nb * B,), np.int32)
     ids = np.zeros((nb * B,), np.int32)
-    for r, i in enumerate(order):
-        ex = examples[i]
-        L = min(len(ex.src), t_src)
-        src[r, :L] = ex.src[:L]
-        lens_in[r] = L
-        ids[r] = i
+    srcs = [examples[i].src for i in order]
+    lens_list = np.fromiter((min(len(s), t_src) for s in srcs), np.int32, n)
+    total = int(lens_list.sum())
+    flat = np.fromiter(
+        (tok for s, L in zip(srcs, lens_list) for tok in s[:L]),
+        np.uint16, total)
+    rows = np.repeat(np.arange(n, dtype=np.int64), lens_list)
+    starts = np.cumsum(lens_list, dtype=np.int64) - lens_list
+    cols = np.arange(total, dtype=np.int64) - np.repeat(starts, lens_list)
+    src[rows, cols] = flat
+    lens_in[:n] = lens_list
+    ids[:n] = np.asarray(order, np.int32)
     if n and n < nb * B:
         # Filler rows replicate a REAL row (src AND features): an all-masked
         # empty source may never emit <eos>, which would force a chunk's
@@ -581,22 +591,35 @@ def _translate_fused(params, cfg, examples, tgt_vocab, beam_size, max_len,
     chunk_steps = chunk_steps.reshape(-1)
     elapsed = time.perf_counter() - t0
 
-    # Vectorized detok: object-array vocab lookup + string-level de-BPE
-    # (equivalent to bpe.remove_bpe on the unit list).
+    # CORPUS-vectorized detok. The previous version vectorized per row but
+    # still made ~4096 python iterations of small numpy calls — measured
+    # 60-140 ms per corpus INSIDE the caller's timed window, comparable to
+    # the whole device decode. Now: one boolean mask + one flat object-array
+    # vocab gather over ALL rows, list-slice joins, and de-BPE as string ops
+    # on ONE newline-joined buffer (vocab units never contain whitespace —
+    # they come from whitespace-split corpora — so "\n" is a safe row
+    # separator, and "@@ "/"@@\n" rewrites are exactly the per-line
+    # remove_bpe semantics: mid-line joins and line-trailing "@@").
     itos = np.asarray(tgt_vocab.itos, dtype=object)
     special = np.zeros(len(itos), bool)
     special[[0, 1, 2, 3]] = True
     special[1] = False                   # keep <unk> like Vocab.decode does
 
-    def detok(row_toks, row_len):
-        t = row_toks[:row_len].astype(np.int64)
-        t = t[~special[t]]
-        s = " ".join(itos[t])
+    def detok_rows(toks2d, lens1d):      # (R, L) ids, (R,) -> R strings
+        R, L = toks2d.shape
+        t = toks2d.astype(np.int64, copy=False)
+        keep = (np.arange(L)[None, :] < lens1d[:, None]) & ~special[t]
+        counts = keep.sum(axis=1)
+        words = itos[t[keep]].tolist()
+        offs = np.concatenate([[0], np.cumsum(counts)]).tolist()
+        lines = [" ".join(words[a:b]) for a, b in zip(offs, offs[1:])]
         if de_bpe:
-            s = s.replace("@@ ", "")
-            if s.endswith("@@"):
-                s = s[:-2]
-        return s
+            giant = "\n".join(lines)
+            giant = giant.replace("@@ ", "").replace("@@\n", "\n")
+            if giant.endswith("@@"):
+                giant = giant[:-2]
+            lines = giant.split("\n")
+        return lines
 
     stats = {"sentences_per_sec": n / max(elapsed, 1e-9),
              "elapsed_s": elapsed, "sentences": n, "beam_size": beam_size,
@@ -620,14 +643,20 @@ def _translate_fused(params, cfg, examples, tgt_vocab, beam_size, max_len,
         stats["streaming"] = True
         stats["refills"] = [int(r) for r in refill_counts]
     if nbest:
+        L = toks.shape[-1]
+        lines = detok_rows(toks[:n].reshape(n * K, L),
+                           lens[:n].reshape(n * K))
+        sc = scores[:n]
+        nb_k = min(nbest, K)
         lists: List[List[Tuple[str, float]]] = [[] for _ in range(n)]
         for r, i in enumerate(order):
-            lists[i] = [(detok(toks[r, k], lens[r, k]), float(scores[r, k]))
-                        for k in range(min(nbest, K))]
+            lists[i] = [(lines[r * K + k], float(sc[r, k]))
+                        for k in range(nb_k)]
         return lists, stats
+    lines = detok_rows(toks[:n], lens[:n])
     hyps: List[str] = [""] * n
     for r, i in enumerate(order):
-        hyps[i] = detok(toks[r], lens[r])
+        hyps[i] = lines[r]
     return hyps, stats
 
 
