@@ -270,25 +270,49 @@ def test_two_phase_with_tables_matches(setup):
 
 def test_eos_top_termination(setup):
     """beam_finish="eos_top": the sentence stops once its top-ranked beam
-    finishes; the returned best hypothesis must be a FINISHED one whenever
-    any beam finished, and the two-phase compacted search must reproduce
+    finishes; whenever any beam COMPLETED (emitted <eos>), the returned
+    best hypothesis must be a completed one — truncated live beams frozen
+    by the sentence stop are masked from the ranking even though the
+    freeze marks their `finished` flags (the flags are NOT trusted;
+    completion is derived from the token buffer — regression for a review
+    finding where a truncated beam outranked the finished one under
+    length normalization). The two-phase compacted search must reproduce
     the single-loop eos_top results exactly."""
+    import jax as _jax
+
     from vag_nmt_tpu.decode.beam import beam_search_two_phase
 
     params, m, state = setup
+    # Bias the output layer toward <eos> so completions actually occur
+    # mid-search on the toy fixture (unbiased random params emit zero
+    # <eos> within 12 steps, which made the original assertions vacuous).
+    params = _jax.tree.map(lambda a: a, params)  # shallow-copy tree
+    b_out = params["decoder"]["readout"]["b_out"]
+    params["decoder"] = dict(params["decoder"])
+    params["decoder"]["readout"] = dict(params["decoder"]["readout"])
+    params["decoder"]["readout"]["b_out"] = b_out.at[EOS_ID].add(2.5)
+
     res = beam_search(params, m, state, beam_size=4, max_len=12,
                       beam_finish="eos_top")
     ref = beam_search(params, m, state, beam_size=4, max_len=12)
     toks = np.asarray(res.best_tokens)
     lens = np.asarray(res.best_lengths)
+    all_toks = np.asarray(res.tokens)
+    all_lens = np.asarray(res.lengths)
+    # the bias must make the scenario real: some sentence completes
+    completed = np.zeros(all_lens.shape, bool)
+    for r in range(all_lens.shape[0]):
+        for k in range(all_lens.shape[1]):
+            L = all_lens[r, k]
+            completed[r, k] = L > 0 and all_toks[r, k, L - 1] == EOS_ID
+    assert completed.any(), "fixture produced no <eos> — test is vacuous"
     # well-formed: tokens after the hypothesis length are PAD
     for r in range(toks.shape[0]):
         assert (toks[r, lens[r]:] == PAD_ID).all()
-    # a finished best hyp ends with <eos> at position len-1
-    fin = np.asarray(res.scores[:, 0]) > -1e8
+    # whenever any beam completed, the BEST beam is a completed one
     for r in range(toks.shape[0]):
-        if fin[r] and lens[r] <= 12:
-            assert toks[r, lens[r] - 1] == EOS_ID or lens[r] == 12
+        if completed[r].any():
+            assert toks[r, lens[r] - 1] == EOS_ID
     # eos_top can only SHORTEN the search relative to all_frozen
     assert np.asarray(res.lengths).max() <= np.asarray(ref.lengths).max()
 
@@ -303,6 +327,34 @@ def test_eos_top_termination(setup):
     with pytest.raises(ValueError):
         beam_search(params, m, state, beam_size=4, max_len=12,
                     beam_finish="bogus")
+
+
+def test_finalize_masks_truncated_beams_under_eos_top():
+    """Direct regression for the review finding: a live beam truncated by
+    the eos_top sentence freeze has a better length-normalized score than
+    the completed hypothesis (raw -1.05 over 9 tokens vs -1.0 over 2) —
+    the completed one must still win, and a sentence with no completed
+    beam falls back to normalized ranking."""
+    from vag_nmt_tpu.decode.beam import _finalize
+
+    L = 12
+    tokens = np.full((2, 2, L), PAD_ID, np.int32)
+    # sentence 0: beam 0 completed (ends with <eos>, len 2), beam 1
+    # truncated at len 9 (no <eos>)
+    tokens[0, 0, :2] = [7, EOS_ID]
+    tokens[0, 1, :9] = [5] * 9
+    # sentence 1: nothing completed
+    tokens[1, 0, :3] = [5, 6, 7]
+    tokens[1, 1, :9] = [8] * 9
+    lengths = np.asarray([[2, 9], [3, 9]], np.int32)
+    scores = np.asarray([[-1.0, -1.05], [-0.9, -1.8]], np.float32)
+    res = _finalize(jnp.asarray(tokens), jnp.asarray(lengths),
+                    jnp.asarray(scores), L, 1.0, mask_incomplete=True)
+    assert int(res.best_lengths[0]) == 2
+    assert np.asarray(res.best_tokens)[0, 1] == EOS_ID
+    # no completed beam: fall back to normalized ranking (-0.9/3 = -0.3
+    # beats -1.8/9 = -0.2? no: -0.2 > -0.3, the LONG one wins the norm)
+    assert int(res.best_lengths[1]) == 9
 
 
 def test_row_cap_freezes_rows_at_their_cap(setup):

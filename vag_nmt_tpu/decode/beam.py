@@ -148,20 +148,29 @@ def _beam_init(state: DecodeState, K: int, buf_len: int):
 
 
 def _finalize(tokens, lengths, scores, max_len: int,
-              length_norm_alpha: float, finished=None) -> BeamResult:
+              length_norm_alpha: float,
+              mask_incomplete: bool = False) -> BeamResult:
     """Length-normalize, rank beams best-first, slice the token buffer.
 
-    finished: pass the loop-end (B, K) finished flags under the "eos_top"
-    termination semantic — beams still unfinished when their sentence's top
-    hypothesis froze are masked out of the ranking (a sentence with NO
-    finished beam, i.e. max_len hit with no <eos> anywhere, falls back to
-    ranking its truncated hypotheses as usual)."""
+    mask_incomplete (the "eos_top" termination semantic): beams whose
+    hypothesis was truncated by the sentence freeze (or by max_len /
+    row_cap) are masked out of the ranking. Completion is derived from the
+    token buffer itself — a hypothesis is complete iff its last counted
+    token is <eos> — NOT from the loop's finished flags: the eos_top freeze
+    ORs the whole sentence's flags True, which would otherwise let a
+    truncated live beam outrank the finished hypothesis under length
+    normalization (found in review; regression-tested). A sentence with NO
+    complete beam (max_len hit with no <eos> anywhere) falls back to
+    ranking its truncated hypotheses as usual."""
     tokens = tokens[:, :, :max_len]
     norm = jnp.maximum(lengths, 1).astype(jnp.float32) ** length_norm_alpha
     final_scores = scores / norm
-    if finished is not None:
-        any_fin = jnp.any(finished, axis=1, keepdims=True)
-        final_scores = jnp.where(finished | ~any_fin, final_scores, NEG_INF)
+    if mask_incomplete:
+        last = jnp.take_along_axis(
+            tokens, jnp.maximum(lengths - 1, 0)[..., None], axis=2)[..., 0]
+        completed = (lengths > 0) & (last == EOS_ID)
+        any_c = jnp.any(completed, axis=1, keepdims=True)
+        final_scores = jnp.where(completed | ~any_c, final_scores, NEG_INF)
     order = jnp.argsort(-final_scores, axis=1)
     tokens = jnp.take_along_axis(tokens, order[..., None], axis=1)
     lengths = jnp.take_along_axis(lengths, order, axis=1)
@@ -252,18 +261,17 @@ def beam_search(
 
         def rerun(_):
             r = jax.lax.while_loop(cond, make_body("exact"), init)
-            return r[3], r[4], r[5], r[6]
+            return r[3], r[4], r[6]
 
         def keep(_):
-            return out[3], out[4], out[5], out[6]
+            return out[3], out[4], out[6]
 
-        scores, tokens, finished, lengths = jax.lax.cond(
-            out[7], rerun, keep, None)
+        scores, tokens, lengths = jax.lax.cond(out[7], rerun, keep, None)
     else:
-        _, _, _, scores, tokens, finished, lengths = jax.lax.while_loop(
+        _, _, _, scores, tokens, _, lengths = jax.lax.while_loop(
             cond, make_body("plain"), init)
     return _finalize(tokens, lengths, scores, max_len, length_norm_alpha,
-                     finished=finished if eos_top else None)
+                     mask_incomplete=eos_top)
 
 
 def beam_search_two_phase(
@@ -429,16 +437,15 @@ def beam_search_two_phase(
         packed = fin[2:]
         t_start = t_end
 
-    _, _, scores, tokens, finished, lengths = packed
+    _, _, scores, tokens, _, lengths = packed
 
     # ---- scatter back to the original row order + finalize ---------------
     inv = jnp.argsort(order)
-    scores, tokens, finished, lengths = (jnp.take(scores, inv, axis=0),
-                                         jnp.take(tokens, inv, axis=0),
-                                         jnp.take(finished, inv, axis=0),
-                                         jnp.take(lengths, inv, axis=0))
+    scores, tokens, lengths = (jnp.take(scores, inv, axis=0),
+                               jnp.take(tokens, inv, axis=0),
+                               jnp.take(lengths, inv, axis=0))
     return (_finalize(tokens, lengths, scores, max_len, length_norm_alpha,
-                      finished=finished if eos_top else None),
+                      mask_incomplete=eos_top),
             steps1.astype(jnp.int32), steps2)
 
 
@@ -535,7 +542,6 @@ def beam_search_streaming(
         # per-pool-row outputs (+1 scratch row for live/sentinel dumps)
         jnp.full((N + 1, K, max_len), PAD_ID, jnp.int32),
         jnp.zeros((N + 1, K), jnp.float32),
-        jnp.zeros((N + 1, K), bool),
         jnp.zeros((N + 1, K), jnp.int32),
     )
 
@@ -546,7 +552,7 @@ def beam_search_streaming(
     def body(c):
         (ids, t, last_tok, s, scores, hist, finished, lengths,
          ctx_w, proj_w, mask_w, cap_w, nxt, steps, refills,
-         o_tok, o_sc, o_fin, o_len) = c
+         o_tok, o_sc, o_len) = c
         st = DecodeState(ctx=ctx_w, ctx_proj=proj_w, src_mask=mask_w,
                          s0=jnp.zeros((W, s.shape[-1]), s.dtype))
         step1 = _make_body_1(params, cfg, st, tables, "plain", max_len,
@@ -560,7 +566,7 @@ def beam_search_streaming(
         def refill(args):
             (ids, t, last_tok, s, scores, hist, finished, lengths,
              ctx_w, proj_w, mask_w, cap_w, nxt, refills,
-             o_tok, o_sc, o_fin, o_len) = args
+             o_tok, o_sc, o_len) = args
             perm = jnp.argsort(fin_sent.astype(jnp.int32), stable=True)
 
             def tk(a):
@@ -578,7 +584,6 @@ def beam_search_streaming(
             emit_idx = jnp.where(is_refill, ids, N)
             o_tok = o_tok.at[emit_idx].set(hist)
             o_sc = o_sc.at[emit_idx].set(scores)
-            o_fin = o_fin.at[emit_idx].set(finished)
             o_len = o_len.at[emit_idx].set(lengths)
             # Issue the next pool rows (row id N = exhausted sentinel).
             cand = nxt + slot - n_live
@@ -608,29 +613,27 @@ def beam_search_streaming(
             nxt = jnp.minimum(jnp.asarray(N, jnp.int32), nxt + n_fin)
             return (new_ids, t, last_tok, s, scores, hist, finished,
                     lengths, ctx_w, proj_w, mask_w, cap_w, nxt, refills + 1,
-                    o_tok, o_sc, o_fin, o_len)
+                    o_tok, o_sc, o_len)
 
         args = (ids, t, last_tok, s, scores, hist, finished, lengths,
                 ctx_w, proj_w, mask_w, cap_w, nxt, refills,
-                o_tok, o_sc, o_fin, o_len)
+                o_tok, o_sc, o_len)
         out = jax.lax.cond((n_fin >= R) & (nxt < N), refill,
                            lambda a: a, args)
         (ids, t, last_tok, s, scores, hist, finished, lengths,
          ctx_w, proj_w, mask_w, cap_w, nxt, refills,
-         o_tok, o_sc, o_fin, o_len) = out
+         o_tok, o_sc, o_len) = out
         return (ids, t, last_tok, s, scores, hist, finished, lengths,
                 ctx_w, proj_w, mask_w, cap_w, nxt, steps + 1, refills,
-                o_tok, o_sc, o_fin, o_len)
+                o_tok, o_sc, o_len)
 
     fin = jax.lax.while_loop(cond, body, init)
     (ids, _, _, _, scores, hist, finished, lengths,
-     _, _, _, _, _, steps, refills, o_tok, o_sc, o_fin, o_len) = fin
+     _, _, _, _, _, steps, refills, o_tok, o_sc, o_len) = fin
     # Final emission: every resident slot holds a distinct pool row.
     o_tok = o_tok.at[ids].set(hist)
     o_sc = o_sc.at[ids].set(scores)
-    o_fin = o_fin.at[ids].set(finished)
     o_len = o_len.at[ids].set(lengths)
     res = _finalize(o_tok[:N], o_len[:N], o_sc[:N], max_len,
-                    length_norm_alpha,
-                    finished=o_fin[:N] if eos_top else None)
+                    length_norm_alpha, mask_incomplete=eos_top)
     return res, steps, refills

@@ -644,13 +644,16 @@ def _translate_fused(params, cfg, examples, tgt_vocab, beam_size, max_len,
         stats["refills"] = [int(r) for r in refill_counts]
     if nbest:
         L = toks.shape[-1]
-        lines = detok_rows(toks[:n].reshape(n * K, L),
-                           lens[:n].reshape(n * K))
-        sc = scores[:n]
         nb_k = min(nbest, K)
+        # beams are best-first, so only the requested top-nb_k rows pay
+        # detok (with beam_size=5, nbest=1 the full-K version did 5x the
+        # host string work for output nobody reads)
+        lines = detok_rows(toks[:n, :nb_k].reshape(n * nb_k, L),
+                           lens[:n, :nb_k].reshape(n * nb_k))
+        sc = scores[:n]
         lists: List[List[Tuple[str, float]]] = [[] for _ in range(n)]
         for r, i in enumerate(order):
-            lists[i] = [(lines[r * K + k], float(sc[r, k]))
+            lists[i] = [(lines[r * nb_k + k], float(sc[r, k]))
                         for k in range(nb_k)]
         return lists, stats
     lines = detok_rows(toks[:n], lens[:n])
