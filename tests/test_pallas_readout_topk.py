@@ -149,3 +149,37 @@ def test_shallow_slots_match_oracle_random(slots):
     np.testing.assert_array_equal(np.asarray(idxf), np.asarray(idxo))
     np.testing.assert_allclose(np.asarray(vf), np.asarray(vo),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_frozen_rows_do_not_arm_the_watermark_fallback():
+    """A watermark violation on a FROZEN row is harmless (its kernel
+    outputs are replaced by the analytic frozen candidates), so it must
+    not arm the exactness fallback: with every row finished the
+    defer_exact flag is False even though the lane-collision construction
+    fires every row's watermark; with live rows it fires. (Review finding:
+    late-decode chunks are mostly frozen and bf16 ties fire constantly —
+    spurious depth-K reruns cost real time at zero benefit.)"""
+    B, K, V, E = 4, 5, 640, 1
+    t = jnp.ones((B * K, E), jnp.float32)
+    w = jnp.zeros((E, V), jnp.float32)
+    b = np.linspace(-1.0, 0.0, V).astype(np.float32)
+    for rank, vid in enumerate([7, 135, 263, 391, 519]):
+        b[vid] = 100.0 - rank
+    b = jnp.asarray(b)
+    scores = jnp.zeros((B, K), jnp.float32)
+
+    live = jnp.zeros((B, K), bool)
+    *_, flag_live = fused_readout_topk(t, w, b, scores, live,
+                                       impl="pallas", slots=3,
+                                       defer_exact=True)
+    assert bool(flag_live)
+
+    frozen = jnp.ones((B, K), bool)
+    out = fused_readout_topk(t, w, b, scores, frozen, impl="pallas",
+                             slots=3, defer_exact=True)
+    assert not bool(out[-1])
+    # and the frozen results themselves match the oracle
+    vo, idxo = _oracle(t, w, b, scores, frozen)
+    np.testing.assert_array_equal(np.asarray(out[1]), np.asarray(idxo))
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(vo),
+                               rtol=1e-5, atol=1e-5)

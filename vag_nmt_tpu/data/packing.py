@@ -55,6 +55,13 @@ def unpack_batch(buf: jnp.ndarray, spec: Spec) -> Dict[str, jnp.ndarray]:
             seg = jax.lax.bitcast_convert_type(seg, jnp.dtype(dt))  # int8
         out[key] = seg.reshape(shape)
         off += n
+    if off != buf.shape[0]:
+        # trace-time check, mirrors unpack_leaves_host: a stale spec whose
+        # layout is a byte-prefix of the buffer would otherwise silently
+        # decode wrong (but well-formed-looking) leaves
+        raise ValueError(
+            f"packed buffer has {buf.shape[0]} bytes but the spec describes "
+            f"{off}")
     return out
 
 

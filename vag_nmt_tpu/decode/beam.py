@@ -231,12 +231,13 @@ def beam_search(
         t, finished = carry[0], carry[5]
         return (t < max_len_pad) & ~jnp.all(finished)
 
-    # Chunk-level deferred exactness (opt-in; see deferred_exactness_active
-    # for the measured NEGATIVE result that keeps it off by default): the
-    # slot-depth<K kernel's per-step exactness lax.cond costs ~17 us/step
-    # in context; in "defer" mode the watermark flag rides the loop carry
-    # instead and the WHOLE chunk reruns with the exact depth-K kernel iff
-    # it ever fired. Results are exact either way.
+    # Chunk-level deferred exactness (TPU default when the fused kernel
+    # runs at slot depth < K; VAG_FRT_DEFER=0 restores the per-step cond —
+    # see deferred_exactness_active for the measurement history): the
+    # slot-depth<K kernel's per-step exactness lax.cond costs ~11-17
+    # us/step in context; in "defer" mode the watermark flag rides the
+    # loop carry instead and the WHOLE chunk reruns with the exact depth-K
+    # kernel iff a LIVE row ever fired it. Results are exact either way.
     defer = deferred_exactness_active(K)
 
     if beam_finish not in ("all_frozen", "eos_top"):

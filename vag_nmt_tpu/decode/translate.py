@@ -33,6 +33,25 @@ from vag_nmt_tpu.models.decoder import decode_tables
 from vag_nmt_tpu.utils.pytree import cast_floats
 
 
+def _env_fingerprint() -> tuple:
+    """Impl-selection env knobs that are read at TRACE time inside the
+    jitted decode programs (VAG_READOUT_TOPK, VAG_TOPK_IMPL, VAG_FRT_SLOTS,
+    VAG_FRT_DEFER, VAG_FRT_NOCOND, VAG_GRU_STREAM, VAG_BEAM_UNROLL). The
+    factories below are lru_cached and their jit caches persist, so without
+    this in the cache key an in-process A/B flip of any of these knobs
+    would silently re-run the stale program traced under the OLD value
+    (found in review — the hazard was already documented and keyed for
+    VAG_TOKEN_TABLES, but not for the others). Fingerprinting the values
+    into every factory's key makes a flip produce a fresh closure, whose
+    first trace re-reads the env."""
+    import os
+
+    return tuple(os.environ.get(k, "") for k in (
+        "VAG_READOUT_TOPK", "VAG_TOPK_IMPL", "VAG_FRT_SLOTS",
+        "VAG_FRT_DEFER", "VAG_FRT_NOCOND", "VAG_GRU_STREAM",
+        "VAG_BEAM_UNROLL"))
+
+
 def _use_tables() -> bool:
     """Per-vocab gate/readout decode tables (decoder.decode_tables): default
     ON for TPU decode (the per-step embed->matmul chain measured ~60 us/step
@@ -51,7 +70,7 @@ def _use_tables() -> bool:
 
 @lru_cache(maxsize=64)
 def make_decode_fn(cfg: Config, beam_size: int, max_len: int,
-                   use_tables: bool = False):
+                   use_tables: bool = False, env_key: tuple = ()):
     """One jitted program: encode + ground + init + full decode loop.
 
     Cached on (cfg, beam, max_len, use_tables): jit compile caches live on
@@ -271,7 +290,8 @@ def _make_super_one(cfg: Config, beam_size: int, max_len: int,
 def make_fused_corpus_fn(cfg: Config, beam_size: int, max_len: int,
                          multimodal: bool, mesh=None, nbest: bool = False,
                          packed_spec=None, use_tables: bool = False,
-                         two_phase: bool = False, streaming: bool = False):
+                         two_phase: bool = False, streaming: bool = False,
+                         env_key: tuple = ()):
     """ONE jitted program decoding the ENTIRE corpus: lax.map over fixed-size
     chunks of a single padded (n_super, S, B, T_src) token array, image
     features gathered on-device from a resident table. One dispatch + one
@@ -354,7 +374,8 @@ def make_fused_superchunk_fn(cfg: Config, beam_size: int, max_len: int,
                              multimodal: bool, nbest: bool = False,
                              use_tables: bool = False,
                              two_phase: bool = False,
-                             streaming: bool = False):
+                             streaming: bool = False,
+                             env_key: tuple = ()):
     """Pipelined variant: one jitted program PER SUPER-CHUNK ((S, B, T) in,
     chunk results out). The caller keeps the whole corpus device-resident,
     enqueues all chunk calls back-to-back (async dispatch), and fetches
@@ -510,7 +531,8 @@ def _translate_fused(params, cfg, examples, tgt_vocab, beam_size, max_len,
                                         nbest=bool(nbest),
                                         use_tables=use_tab,
                                         two_phase=two_phase,
-                                        streaming=streaming)
+                                        streaming=streaming,
+                                        env_key=_env_fingerprint())
         src_d = jax.device_put(src.reshape(ns, S, B, t_src))
         lens_d = jax.device_put(lens_in.reshape(ns, S, B))
         ids_d = jax.device_put(ids.reshape(ns, S, B))
@@ -537,7 +559,8 @@ def _translate_fused(params, cfg, examples, tgt_vocab, beam_size, max_len,
         run = make_fused_corpus_fn(cfg, beam_size, max_len, multimodal, None,
                                    nbest=bool(nbest), packed_spec=spec,
                                    use_tables=use_tab, two_phase=two_phase,
-                                   streaming=streaming)
+                                   streaming=streaming,
+                                   env_key=_env_fingerprint())
         raw = run(params, jax.device_put(buf), img_table)
         if nbest:
             leaves = [
@@ -563,7 +586,8 @@ def _translate_fused(params, cfg, examples, tgt_vocab, beam_size, max_len,
                                        out_spec))
     else:
         run = make_fused_corpus_fn(cfg, beam_size, max_len, multimodal, mesh,
-                                   nbest=bool(nbest), use_tables=use_tab)
+                                   nbest=bool(nbest), use_tables=use_tab,
+                                   env_key=_env_fingerprint())
         raw = run(
             params,
             jax.device_put(src.reshape(ns, S, B, t_src)),
@@ -738,7 +762,8 @@ def translate_corpus(
     batcher = BucketBatcher(
         positioned, batch_size, cfg.data.length_buckets,
         image_ids=use_table, img_dim=cfg.model.img_feat_dim)
-    decode = make_decode_fn(cfg, beam_size, max_len, _use_tables())
+    decode = make_decode_fn(cfg, beam_size, max_len, _use_tables(),
+                            env_key=_env_fingerprint())
 
     n = len(examples)
     hyps: List[Optional[str]] = [None] * n

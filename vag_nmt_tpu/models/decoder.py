@@ -114,21 +114,20 @@ def _readout_t(
     ty: jnp.ndarray,         # (N, R) f32 precomputed y-term (y_emb @ wy)
     s_new: jnp.ndarray,      # (N, H)
     c: jnp.ndarray,          # (N, C)
-    readout_drop_mask: Optional[jnp.ndarray] = None,
     tc: Optional[jnp.ndarray] = None,  # (N, R) f32 precomputed c @ wc
 ) -> jnp.ndarray:
+    """Readout activations t = tanh(ty + s@ws + c@wc + b); dropout on t is
+    the CALLER's job (step_from_xgates per step, teacher_forced_logits on
+    the stacked activations)."""
     r = params["readout"]
     if tc is None:
         tc = jnp.dot(c, r["wc"], preferred_element_type=jnp.float32)
-    t = jnp.tanh(
+    return jnp.tanh(
         ty
         + jnp.dot(s_new, r["ws"], preferred_element_type=jnp.float32)
         + tc
         + r["b"]
     )
-    if readout_drop_mask is not None:
-        t = t * readout_drop_mask
-    return t
 
 
 def step_acts_from_xgates(

@@ -62,9 +62,10 @@ def shard_mesh(mesh):
         _SHARD_MESH.reset(tok)
 
 
-def _interpret() -> bool:
-    # Correctness everywhere: compiled on TPU, interpreter elsewhere (CPU CI).
-    return jax.default_backend() != "tpu"
+from vag_nmt_tpu.ops.pallas_topk import _interpret  # noqa: E402 shared
+                                                    # backend probe: compiled
+                                                    # on TPU, interpret mode
+                                                    # elsewhere (CPU CI)
 
 
 # The backward kernel's working set (uh + du blocks at H=512 plus the
@@ -75,6 +76,14 @@ def _interpret() -> bool:
 # flagship shapes (v5e VMEM is 128 MB; the cap only bounds the scoped
 # allocator, it does not reserve memory).
 _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+
+
+def _pick_kt(T: int) -> int:
+    """Time steps unrolled per grid step: largest of {_KT, 4, 2, 1} dividing
+    T. Shared by the forward and backward calls — their grids MUST walk the
+    same time blocks, so the selection lives in one place."""
+    return _KT if T % _KT == 0 else (4 if T % 4 == 0 else (2 if T % 2 == 0
+                                                           else 1))
 
 
 def _gates(xg, hg, h):
@@ -128,8 +137,7 @@ def _fwd_call(xg_t, mask_t, uh, bh, h0, *, reverse: bool, tb: int):
     T, B, H3 = xg_t.shape
     H = H3 // 3
     nb = B // tb
-    kt = _KT if T % _KT == 0 else (4 if T % 4 == 0 else (2 if T % 2 == 0
-                                                         else 1))
+    kt = _pick_kt(T)
     nt = T // kt
 
     def blk(t):
@@ -245,8 +253,7 @@ def _bwd_call(xg_t, mask_t, uh, bh, h0, hs_t, g_t, *, reverse: bool, tb: int):
     T, B, H3 = xg_t.shape
     H = H3 // 3
     nb = B // tb
-    kt = _KT if T % _KT == 0 else (4 if T % 4 == 0 else (2 if T % 2 == 0
-                                                         else 1))
+    kt = _pick_kt(T)
     nt = T // kt
 
     # Backward grid step k visits time-block bidx(k), walking the scan order

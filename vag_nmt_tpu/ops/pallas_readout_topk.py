@@ -42,11 +42,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from vag_nmt_tpu.core.config import PAD_ID
-from vag_nmt_tpu.ops.pallas_topk import NEG_INF, _FLOOR
-
-
-def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
+from vag_nmt_tpu.ops.pallas_topk import NEG_INF, _FLOOR, _interpret
 
 
 # Mosaic's default scoped-VMEM budget is 16 MB; at the IKEA regime (V=13381,
@@ -63,24 +59,26 @@ def deferred_exactness_active(K: int) -> bool:
     rerun the chunk with the depth-K kernel iff it fired) instead of the
     per-step lax.cond fallback.
 
-    DEFAULT OFF — measured NEGATIVE result (benchmarks/defer_ab.py,
-    interleaved full-beam-search fetch-delta on 1×v5e, untrained bf16
-    model: per-step cond 201 us/step vs deferred 309 us/step). Removing
-    the per-step cond saves its ~17 us/step fixed cost, but the chunk-level
-    recovery pays the WHOLE chunk again whenever ANY of its ~(B·K·steps)
-    row-steps fires the watermark — the per-step fallback only repays one
-    step's kernel. bf16 logits tie often enough that the conservative
-    watermark fires at far above the ~2e-6/row/step estimate used when
-    this was proposed (VERDICT r2 trace analysis), so amplification wins.
-    Kept as an opt-in knob (VAG_FRT_DEFER=1) for regimes with sharply
-    peaked posteriors and short chunks, where per-chunk firing is rare.
+    History: this FIRST measured a large NEGATIVE (per-step cond 201 vs
+    deferred 309 us/step) because the watermark flag was armed by FROZEN
+    rows — whose kernel outputs are discarded by _combine — and bf16 logit
+    ties on mostly-frozen late-decode chunks fired it near-constantly, so
+    the chunk-level recovery repaid whole chunks for violations that could
+    not affect the result. After masking the flag to LIVE rows only
+    (review finding; fused_readout_topk), the same interleaved
+    full-beam-search A/B (benchmarks/defer_ab.py, 1xv5e) flipped:
+    deferred 281.6 vs per-step cond 292.4 us/step — removing the cond's
+    ~11-17 us/step fixed cost now wins, with live-row violations at the
+    analytic ~2e-6/row/step rate. DEFAULT is therefore ON (on TPU, when
+    the resolved slot depth < K); VAG_FRT_DEFER=0 restores the per-step
+    cond for A/B.
 
-    True iff VAG_FRT_DEFER=1, the fused-kernel path would be active under
-    the same env/backend resolution `models.model.decode_step_topk` uses,
-    the resolved slot depth is < K (a per-step cond would otherwise
-    exist), and VAG_FRT_NOCOND=1 (bench-only knob whose meaning is "no
-    recovery at all") is not set."""
-    if os.environ.get("VAG_FRT_DEFER", "0") != "1":
+    True iff the fused-kernel path would be active under the same
+    env/backend resolution `models.model.decode_step_topk` uses, the
+    resolved slot depth is < K (a per-step cond would otherwise exist),
+    VAG_FRT_DEFER is not "0", and VAG_FRT_NOCOND=1 (bench-only knob whose
+    meaning is "no recovery at all") is not set."""
+    if os.environ.get("VAG_FRT_DEFER", "") == "0":
         return False
     if os.environ.get("VAG_FRT_NOCOND", "") == "1":
         return False
@@ -363,9 +361,17 @@ def fused_readout_topk(
     if sk >= K:
         out = _combine(rvals, ridx, lse, scores32, finished, V, pad_id)
         return out + (jnp.zeros((), bool),) if defer_exact else out
+    # A watermark violation on a FROZEN row cannot change the result —
+    # _combine replaces frozen rows' kernel outputs with the analytic
+    # pad/NEG_INF candidates — so only live rows arm the fallback. Late in
+    # a beam decode most rows are frozen and bf16 logit ties fire their
+    # watermarks constantly (the measured reason chunk-level deferral lost
+    # 201 vs 309 us/step); masking them removes those spurious depth-K
+    # reruns at zero exactness cost (found in review; parity tests pin it).
+    live_viol = jnp.any((viol[:, 0] > 0) & ~finished.reshape(-1))
     if defer_exact:
         return _combine(rvals, ridx, lse, scores32, finished, V,
-                        pad_id) + (jnp.any(viol > 0),)
+                        pad_id) + (live_viol,)
     if os.environ.get("VAG_FRT_NOCOND", "") == "1":
         # BENCH-ONLY: skip the exactness fallback to measure the lax.cond's
         # per-step cost in context. NOT exact (P ~2e-6/row of a wrong
@@ -379,4 +385,4 @@ def fused_readout_topk(
         rv, ri, ls, _unused = call_kernel(K)
         return _combine(rv, ri, ls, scores32, finished, V, pad_id)
 
-    return jax.lax.cond(jnp.any(viol > 0), exact, fast, None)
+    return jax.lax.cond(live_viol, exact, fast, None)

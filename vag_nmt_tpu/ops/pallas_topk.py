@@ -47,6 +47,13 @@ NEG_INF = -1e9          # finished-beam filler, matches decode/beam.py
 _FLOOR = -3.0e38        # "smaller than any candidate" for masking
 
 
+def _pick_row_tile(B: int) -> int:
+    """Sublane row tile for the beam top-k kernels: largest of {16, 8, 4, 1}
+    dividing B (shared with ops/topk_legacy so retunes stay in sync)."""
+    return 16 if B % 16 == 0 else (8 if B % 8 == 0 else (4 if B % 4 == 0
+                                                         else 1))
+
+
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
@@ -186,10 +193,10 @@ def beam_topk(
         cand = jax.lax.optimization_barrier(cand)
         return jax.lax.top_k(cand, K)
 
-    tb = 16 if B % 16 == 0 else (8 if B % 8 == 0 else (4 if B % 4 == 0 else 1))
-    tv = 512
-    nv = -(-V // tv)
     if impl == "pallas_lanes":
+        tb = _pick_row_tile(B)
+        tv = 512
+        nv = -(-V // tv)
         # Per-row top-K from the lane-parallel kernel; same trivial (B, K*K)
         # cross-beam combine as pallas_rows.
         rvals, ridx = pl.pallas_call(

@@ -164,7 +164,9 @@ def legacy_beam_topk(logits, base, finf, finished, *, V, pad_id, impl):
     ops/pallas_topk.beam_topk when impl is explicitly "pallas"/"pallas_rows".
     `base`/`finf` are beam_topk's precomputed candidate terms."""
     B, K = base.shape[0], base.shape[1]
-    tb = 16 if B % 16 == 0 else (8 if B % 8 == 0 else (4 if B % 4 == 0 else 1))
+    from vag_nmt_tpu.ops.pallas_topk import _pick_row_tile
+
+    tb = _pick_row_tile(B)
     tv = 512
     nv = -(-V // tv)
     if impl == "pallas_rows":
