@@ -74,3 +74,12 @@ def test_mismatched_lengths_raise():
     import pytest
     with pytest.raises(ValueError):
         corpus_bleu(["a"], ["a", "b"])
+
+
+def test_empty_reference_list_raises():
+    import pytest
+
+    from vag_nmt_tpu.evaluation.bleu import corpus_bleu
+
+    with pytest.raises(ValueError, match="line-count mismatch"):
+        corpus_bleu(["a b c"], [])

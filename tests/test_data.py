@@ -428,3 +428,22 @@ def test_pack_leaves_roundtrip():
 
     with pytest.raises(ValueError, match="consumed"):
         unpack_leaves_host(buf[:-1], spec)
+
+
+def test_save_features_sidecar_follows_npy_suffix(tmp_path):
+    """np.save appends '.npy' when absent; the alignment sidecar must sit
+    next to the file actually written or the checksum silently never runs
+    (review finding)."""
+    import numpy as np
+
+    from vag_nmt_tpu.data.features import load_features, save_features
+
+    feats = np.arange(6, dtype=np.float32).reshape(3, 2)
+    lines = ["a", "b", "c"]
+    save_features(str(tmp_path / "f"), feats, lines)          # no .npy
+    assert (tmp_path / "f.npy.align.json").exists()
+    load_features(str(tmp_path / "f.npy"), 3, lines)          # checksum runs
+    import pytest
+
+    with pytest.raises(ValueError, match="corpus"):
+        load_features(str(tmp_path / "f.npy"), 3, ["a", "c", "b"])

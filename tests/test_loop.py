@@ -116,3 +116,32 @@ def test_mid_epoch_resume_is_batch_exact(tmp_path):
     ab_leaves = jax.tree.leaves(s_ab.params)
     for a, b in zip(ref_leaves, ab_leaves):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resume_at_or_past_max_steps_trains_nothing(tmp_path):
+    """Review finding: a run resumed AT max_steps must not dispatch any
+    further step (each rerun used to advance 'last' by one step, breaking
+    the bit-identical-resume guarantee)."""
+    import jax
+    import numpy as np
+
+    from vag_nmt_tpu.train.checkpoint import load_checkpoint
+    from vag_nmt_tpu.train.state import create_train_state
+
+    cfg, train, dev, vocab, refs = _toy_setup()
+    out1 = train_loop(cfg, str(tmp_path), train, dev, vocab, refs,
+                      max_steps=3)
+    assert out1["steps"] == 3.0
+    template = create_train_state(jax.random.key(0), cfg)
+    ckpt_dir = str(tmp_path / cfg.train.checkpoint_dir)
+    st, _ = load_checkpoint(ckpt_dir, "last", template)
+    p_before = np.asarray(jax.tree.leaves(st.params)[0])
+
+    cfg_r = cfg.replace(train=dict(resume=True, eval_every_steps=0))
+    out2 = train_loop(cfg_r, str(tmp_path), train, dev, vocab, refs,
+                      max_steps=3)
+    assert out2["steps"] == 3.0
+    st2, _ = load_checkpoint(ckpt_dir, "last", template)
+    assert int(st2.step) == 3
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(st2.params)[0]), p_before)

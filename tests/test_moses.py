@@ -194,3 +194,30 @@ def test_tokenize_detokenize_roundtrip_en():
     for s in ["Hello, world!", "John's dog doesn't run.",
               "A man (with a dog) walks."]:
         assert moses_detokenize(t.tokenize(s), "en") == s
+
+
+def test_truecaser_sentence_start_consumed_by_non_alpha_token():
+    """truecase.perl clears the sentence start on ANY non-delayed token: a
+    word after a leading number is NOT sentence-initial, so its observed
+    mid-sentence casing must be counted in training and preserved when
+    truecasing (review finding — the old code treated it as
+    sentence-initial and lowercased it)."""
+    from vag_nmt_tpu.data.moses import Truecaser
+
+    # "Hunde" is always capitalized mid-sentence (German noun); train on
+    # lines where it appears after a digit and genuinely mid-sentence.
+    lines = [
+        ["5", "Hunde", "laufen", "."],
+        ["wir", "sehen", "Hunde", "."],
+        ["5", "Hunde", "bellen", "."],
+    ]
+    tc = Truecaser.train(lines)
+    assert tc.best["hunde"] == "Hunde"
+    # applying: "Hunde" after a leading digit keeps its casing
+    assert tc.truecase(["5", "Hunde", "laufen", "."]) == [
+        "5", "Hunde", "laufen", "."]
+    # delayed punctuation (quotes) still defers the start: the word after
+    # an opening quote IS sentence-initial and gets its best casing
+    # (trained from mid-sentence occurrences)
+    tc2 = Truecaser.train([["heute", "laufen", "wir", "."]] * 2)
+    assert tc2.truecase(['"', "Wir", "laufen", "."])[1] == "wir"

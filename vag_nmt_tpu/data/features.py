@@ -28,6 +28,11 @@ def corpus_checksum(lines) -> str:
 def save_features(path: str, feats: np.ndarray,
                   corpus_lines: Optional[list] = None) -> None:
     np.save(path, feats)
+    # np.save appends ".npy" when absent; the sidecar must sit next to the
+    # file ACTUALLY written, or load_features("...npy") would never find it
+    # and silently skip the checksum (review finding)
+    if not path.endswith(".npy"):
+        path = path + ".npy"
     if corpus_lines is not None:
         with open(path + ".align.json", "w") as f:
             json.dump({"rows": int(feats.shape[0]),

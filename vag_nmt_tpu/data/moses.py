@@ -236,12 +236,14 @@ class Truecaser:
             for w in toks:
                 if cls._DELAYED.match(w):
                     continue  # quotes/brackets delay the sentence start
-                if re.search(_ALPHA, w):
-                    if not start:
-                        counts[w.lower()][w] += 1
-                    start = False
-                elif w in cls._SENT_END:
-                    start = True
+                if re.search(_ALPHA, w) and not start:
+                    counts[w.lower()][w] += 1
+                # train-truecaser.perl clears the sentence start on ANY
+                # non-delayed token (a leading number/symbol consumes it,
+                # so the word after "5" is NOT sentence-initial — review
+                # finding; the old code only cleared it on alphabetic
+                # tokens) and re-arms it on sentence-ending punctuation.
+                start = w in cls._SENT_END
         best = {}
         known = set()
         for lc, c in counts.items():
@@ -264,9 +266,9 @@ class Truecaser:
                     pass                               # seen this exact form
                 elif lw in self.best:
                     w = self.best[lw]                  # unseen casing -> best
-                start = False
-            elif w in self._SENT_END:
-                start = True
+            # truecase.perl: ANY non-delayed token consumes the sentence
+            # start; sentence-ending punctuation re-arms it (see train()).
+            start = w in self._SENT_END
             out.append(w)
         return out
 
@@ -301,7 +303,11 @@ _RIGHT_ATTACH = set("([{«¿¡$")           # attach to the following token
 
 def moses_detokenize(tokens: List[str], lang: str = "en") -> str:
     out = ""
-    quote_open = {'"': False, "'": False}
+    # paired-quote state for straight DOUBLE quotes only — Moses
+    # detokenizer.perl treats bare single quotes with its generic
+    # right-attach rules (apostrophes are handled by the contraction
+    # branch), so there is deliberately no single-quote pairing state
+    quote_open = {'"': False}
     prepend_next = False
     for tok in tokens:
         if tok and all(c in _LEFT_ATTACH for c in tok):

@@ -51,6 +51,10 @@ def corpus_bleu(
         ref_sets = [references]
     else:
         ref_sets = list(references)
+    if not ref_sets and hypotheses:
+        # an empty reference list would otherwise slip past the per-set
+        # length check and crash later in an opaque min() (review finding)
+        raise ValueError("hypothesis/reference line-count mismatch")
     for rs in ref_sets:
         if len(rs) != len(hypotheses):
             raise ValueError("hypothesis/reference line-count mismatch")

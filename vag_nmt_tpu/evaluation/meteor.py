@@ -177,9 +177,15 @@ class _Stemmer:
         self._stem = None
         sb = _SNOWBALL_LANG.get(lang)
         if sb is not None:
-            from nltk.stem.snowball import SnowballStemmer
+            try:
+                from nltk.stem.snowball import SnowballStemmer
 
-            self._stem = SnowballStemmer(sb).stem
+                self._stem = SnowballStemmer(sb).stem
+            except ImportError:
+                # degrade gracefully like the wordnet module: the scorer
+                # surfaces the missing module via active_modules/warning
+                # instead of crashing at construction (review finding)
+                self._stem = None
 
     @property
     def available(self) -> bool:

@@ -313,6 +313,17 @@ def train_loop(
 
     K_steps = K
     epoch_cursor = 0
+    # Terminal-state guard on resume (review finding): boundary_checks only
+    # runs AFTER a dispatch, so a run resumed at or past max_steps would
+    # train (and checkpoint) at least one extra step per rerun, breaking
+    # the bit-identical-resume guarantee. Check the resumed step count
+    # BEFORE entering the loop.
+    if max_steps is not None and host_step >= max_steps:
+        log.log("resume_at_terminal_state", step=host_step,
+                max_steps=max_steps)
+        final.update({"steps": float(host_step), "best_bleu": best_bleu})
+        log.log("done", **final)
+        return final
     try:
         for epoch in range(start_epoch, cfg.train.max_epochs):
             interrupted = False
