@@ -33,3 +33,16 @@ def test_replace_sectionwise():
 def test_unknown_key_rejected():
     with pytest.raises(KeyError):
         Config.from_dict({"model": {"nope": 1}})
+
+
+def test_cli_set_override_with_json_list_stays_hashable():
+    """Review finding (reproduced): --set with a JSON list produced an
+    unhashable Config (frozen dataclass holding a list), crashing the
+    lru_cache-keyed decode factories. Lists must become tuples."""
+    from vag_nmt_tpu.cli import _parse_overrides
+    from vag_nmt_tpu.core.config import preset
+
+    ov = _parse_overrides(["data.length_buckets=[8,16]"])
+    cfg = preset("toy").replace(**ov)
+    assert cfg.data.length_buckets == (8, 16)
+    hash(cfg)  # must not raise

@@ -155,3 +155,21 @@ def test_roofline_classification():
     out = roofline(13e12, 80e9)
     assert out["bound"] == "latency"
     assert 0.05 < out["mfu"] < 0.08
+
+
+def test_roofline_reports_the_higher_roof():
+    """Review finding: with both utilizations above threshold, the HIGHER
+    one is the binding roof (the old mfu-first branch labelled
+    mfu=0.5/hbm=0.8 as 'mxu')."""
+    from vag_nmt_tpu.core.flops import (
+        V5E_HBM_BYTES_PER_S,
+        V5E_PEAK_BF16_FLOPS,
+        roofline,
+    )
+
+    r = roofline(0.5 * V5E_PEAK_BF16_FLOPS, 0.8 * V5E_HBM_BYTES_PER_S)
+    assert r["bound"] == "hbm"
+    r = roofline(0.8 * V5E_PEAK_BF16_FLOPS, 0.5 * V5E_HBM_BYTES_PER_S)
+    assert r["bound"] == "mxu"
+    r = roofline(0.05 * V5E_PEAK_BF16_FLOPS, 0.08 * V5E_HBM_BYTES_PER_S)
+    assert r["bound"] == "latency"

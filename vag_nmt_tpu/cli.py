@@ -35,6 +35,11 @@ def _parse_overrides(pairs: Sequence[str]) -> Dict[str, Dict[str, Any]]:
             val = json.loads(val)
         except json.JSONDecodeError:
             pass  # keep as string
+        if isinstance(val, list):
+            # frozen Config fields are tuples; a JSON list would make the
+            # dataclass unhashable and crash the lru_cache-keyed decode
+            # factories (review finding; from_dict already converts)
+            val = tuple(val)
         out.setdefault(section, {})[name] = val
     return out
 
@@ -61,9 +66,8 @@ def _mesh_or_none(cfg):
     from vag_nmt_tpu.parallel.sharding import make_mesh
 
     n_model = max(1, cfg.mesh.model_axis)
-    n = len(jax.devices())
-    if n // n_model <= 1 and n_model == 1:
-        return None
+    if len(jax.devices()) <= 1 and n_model == 1:
+        return None                      # single device: no mesh needed
     return make_mesh(n_data=cfg.mesh.data_axis, n_model=n_model)
 
 
@@ -175,10 +179,14 @@ def cmd_translate(args) -> None:
     from vag_nmt_tpu.core.profiling import maybe_trace
 
     with maybe_trace(args.profile_dir):
+        # Multi-device hosts shard decode rows over the 'data' axis
+        # (hypotheses bit-identical to single-device, tested); single
+        # device gets mesh=None and the packed one-buffer transport.
         hyps, stats = translate_corpus(
             state.params, cfg, exs, tgt_vocab,
-            beam_size=args.beam if args.beam is not None else None,
-            nbest=args.nbest)
+            beam_size=args.beam,
+            nbest=args.nbest,
+            mesh=_mesh_or_none(cfg))
     with open(args.output, "w", encoding="utf-8") as f:
         if args.nbest:
             # Moses n-best list convention: "<sent-id> ||| <hyp> ||| <score>"

@@ -122,10 +122,13 @@ def roofline(achieved_flops_per_s: float, bytes_per_s: float,
     """MFU + HBM utilization + which roof binds."""
     mfu = achieved_flops_per_s / peak_flops
     hbm = bytes_per_s / peak_bytes
-    if mfu >= 0.5 or (mfu > 2 * hbm and mfu > 0.15):
-        bound = "mxu"
-    elif hbm >= 0.5 or (hbm > 2 * mfu and hbm > 0.15):
-        bound = "hbm"
+    # The HIGHER utilization is the nearer roof; classify by it first so an
+    # operating point with both above 0.5 reports the binding one (review
+    # finding: the old mfu-first branch labelled mfu=0.5/hbm=0.8 as "mxu").
+    hi, lo, hi_name, lo_name = ((mfu, hbm, "mxu", "hbm") if mfu >= hbm
+                                else (hbm, mfu, "hbm", "mxu"))
+    if hi >= 0.5 or (hi > 2 * lo and hi > 0.15):
+        bound = hi_name
     else:
         bound = "latency"
     return {"mfu": mfu, "hbm_util": hbm, "bound": bound}

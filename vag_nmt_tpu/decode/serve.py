@@ -34,6 +34,8 @@ from typing import List, Optional, Sequence
 
 import numpy as np
 
+from vag_nmt_tpu.core.config import UNK_ID
+
 
 class Translator:
     def __init__(self, cfg, params, src_bpe, src_vocab, tgt_vocab,
@@ -93,8 +95,16 @@ class Translator:
 
                 tc_path = os.path.join(
                     d, f"truecase.{cfg.data.src_lang}.json")
-                if os.path.exists(tc_path):
-                    truecaser = Truecaser.load(tc_path)
+                if not os.path.exists(tc_path):
+                    # the manifest exists precisely to stop silent host-
+                    # preprocessing drift: the model was trained on
+                    # truecased text, so serving without the model is a
+                    # quality bug, not a fallback (review finding)
+                    raise FileNotFoundError(
+                        f"preprocess manifest says truecase=true but "
+                        f"{tc_path} is missing — copy the truecase model "
+                        f"next to the vocab/bpe artifacts")
+                truecaser = Truecaser.load(tc_path)
 
         template = create_train_state(jax.random.key(0), cfg)
         state, _ = load_checkpoint(
@@ -132,6 +142,10 @@ class Translator:
         from vag_nmt_tpu.decode.translate import translate_corpus
 
         m = self.cfg.model
+        if images is not None and not m.multimodal:
+            raise ValueError(
+                "this run is text-only (model.multimodal=false); passing "
+                "images would silently have no effect")
         if images is not None:
             images = np.asarray(images, np.float32)
             if images.ndim != 2 or images.shape[0] != len(lines) \
@@ -145,7 +159,7 @@ class Translator:
             if m.multimodal:
                 img = (np.asarray(images[i], np.float32) if images is not None
                        else np.zeros((m.img_feat_dim,), np.float32))
-            ids = self._encode_line(ln) or [1]      # <unk> for empty input
+            ids = self._encode_line(ln) or [UNK_ID]  # <unk> for empty input
             exs.append(Example(src=ids, img=img, index=i))
         hyps, _ = translate_corpus(self.params, self.cfg, exs, self.tgt_vocab,
                                    beam_size=beam_size)

@@ -39,6 +39,10 @@ def make_mesh(
             )
         n_data = len(devices) // n_model
     need = n_data * n_model
+    if need > len(devices):
+        raise ValueError(
+            f"mesh ({n_data} data x {n_model} model = {need} devices) "
+            f"exceeds the {len(devices)} available devices")
     grid = np.array(devices[:need]).reshape(n_data, n_model)
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 
