@@ -251,7 +251,6 @@ def main():
             def run(s, scores, tokens):
                 def body(t, carry):
                     tok, s, scores, tokens = carry
-                    top_scores, idx = None, None
                     s_new, top_scores, idx = decode_step_topk(
                         params, m, tok, s, state, scores, finished0,
                         impl="fused", tables=tables)

@@ -57,9 +57,17 @@ def main():
         s0=jnp.zeros((B, H), jnp.bfloat16))
     tables = decode_tables(params["decoder"])
 
+    def fetch(r):
+        jax.tree.map(np.asarray, r(params, state))
+
     def build(defer: str):
-        # deferred_exactness_active reads the env at TRACE time; build each
-        # leg's programs under its own setting, then restore.
+        # deferred_exactness_active reads the env at TRACE time — and
+        # jax.jit traces LAZILY at the first CALL, not at closure creation.
+        # Each leg must therefore be warmed (traced) while its env setting
+        # is still active, BEFORE the env is restored. (Review finding: an
+        # earlier version of this harness popped the env before any call,
+        # so both legs traced the same program and the A/B measured pure
+        # run-to-run drift.)
         os.environ["VAG_FRT_DEFER"] = defer
 
         def make(max_len):
@@ -69,17 +77,14 @@ def main():
                                 max_len=max_len, tables=tables)
                 return r.best_tokens, r.best_lengths
             return run
-        return make(N), make(2 * N)
+
+        pair = make(N), make(2 * N)
+        fetch(pair[0])          # force tracing under THIS env setting
+        fetch(pair[1])
+        return pair
 
     runs = {"stepcond": build("0"), "defer": build("1")}
     os.environ.pop("VAG_FRT_DEFER", None)
-
-    def fetch(r):
-        jax.tree.map(np.asarray, r(params, state))
-
-    for pair in runs.values():
-        fetch(pair[0])
-        fetch(pair[1])
 
     deltas = {k: [] for k in runs}
     for _ in range(iters):

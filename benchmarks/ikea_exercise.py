@@ -167,8 +167,13 @@ def main() -> None:
         "stage": "decode", "beam": 5, "max_len": cfg.decode.max_len,
         "t_src_bucket": t_src,
         "sent_per_sec": round(stats["sentences_per_sec"], 1),
-        "mean_hyp_len": round(float(np.mean([len(h.split()) for h in hyps])), 1),
-        "hyp_len_std": round(float(np.std([len(h.split()) for h in hyps])), 1),
+        # +1 = the <eos> step, matching bench.py's convention and this
+        # script's own train-to-EOS gate (review finding: the JSON used to
+        # drop the +1, printing a number below its own acceptance band)
+        "mean_hyp_len": round(float(np.mean(
+            [len(h.split()) + 1 for h in hyps])), 1),
+        "hyp_len_std": round(float(np.std(
+            [len(h.split()) + 1 for h in hyps])), 1),
         "train_steps_total": steps,
         "chunk_trip_min_med_max": [
             int(np.min(stats["chunk_steps"])),

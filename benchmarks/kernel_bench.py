@@ -134,7 +134,9 @@ def main():
         for dt in dtypes:
             r = {x["impl"]: x for x in rows
                  if x["B"] == B and x["T"] == T and x["dtype"] == dt}
-            if "pallas" in r and "xla" in r and not r["pallas"]["error"]:
+            if ("pallas" in r and "xla" in r
+                    and not r["pallas"]["error"]
+                    and not r["xla"]["error"]):
                 print(json.dumps({
                     "summary": f"B{B}_T{T}_{dt}",
                     "pallas_over_xla_fwd":

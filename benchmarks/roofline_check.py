@@ -85,7 +85,18 @@ def analyze(out_dir: str):
         by_op = {}
         bytes_total = 0
         n_events = 0
-        for line in plane.lines:
+        # Device planes carry HIERARCHICAL lines ("XLA Modules" events span
+        # and enclose the "XLA Ops" events); summing every line double-
+        # counts device time once per level (review finding). Use the
+        # single busiest line as the op-level accounting; the others exist
+        # for grouping only.
+        def line_dur(ln):
+            return sum(e.duration_ps for e in ln.events)
+
+        op_lines = [ln for ln in plane.lines if "Ops" in (ln.name or "")]
+        lines = (op_lines if op_lines
+                 else sorted(plane.lines, key=line_dur, reverse=True)[:1])
+        for line in lines:
             for ev in line.events:
                 dur = ev.duration_ps / 1e12
                 name = ev_names.get(ev.metadata_id, "?")

@@ -88,6 +88,11 @@ def main():
     for B, K, V in shapes:
         r = {x["impl"]: x for x in rows
              if (x["B"], x["K"], x["V"]) == (B, K, V)}
+        if r["xla"]["error"]:
+            # a failed baseline would make every ratio NaN (invalid JSON)
+            print(json.dumps({"summary": f"B{B}_K{K}_V{V}",
+                              "error": "xla baseline failed"}), flush=True)
+            continue
         base = r["xla"]["us_per_call"]
         print(json.dumps({
             "summary": f"B{B}_K{K}_V{V}",

@@ -56,7 +56,7 @@ def stage_batch(cfg, B, T, Tt, seed=0):
     return jax.device_put(jax.tree.map(jnp.asarray, batch))
 
 
-def make_runner(cfg, state0, batch, R):
+def make_runner(cfg, batch, R):
     """One jitted dispatch = R sequential train steps on the staged batch.
 
     Reuses train.step's single-step body (the production numerics) via a
@@ -115,8 +115,8 @@ def main():
         B, T, Tt = args.batch, args.t_src, args.t_tgt
         batch = stage_batch(cfg, B, T, Tt)
         R = args.reps
-        run_n = make_runner(cfg, None, batch, R)
-        run_2n = make_runner(cfg, None, batch, 2 * R)
+        run_n = make_runner(cfg, batch, R)
+        run_2n = make_runner(cfg, batch, 2 * R)
 
         def fresh_state():
             return jax.device_put(

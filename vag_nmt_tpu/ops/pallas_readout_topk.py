@@ -64,14 +64,17 @@ def deferred_exactness_active(K: int) -> bool:
     rows — whose kernel outputs are discarded by _combine — and bf16 logit
     ties on mostly-frozen late-decode chunks fired it near-constantly, so
     the chunk-level recovery repaid whole chunks for violations that could
-    not affect the result. After masking the flag to LIVE rows only
-    (review finding; fused_readout_topk), the same interleaved
-    full-beam-search A/B (benchmarks/defer_ab.py, 1xv5e) flipped:
-    deferred 281.6 vs per-step cond 292.4 us/step — removing the cond's
-    ~11-17 us/step fixed cost now wins, with live-row violations at the
-    analytic ~2e-6/row/step rate. DEFAULT is therefore ON (on TPU, when
-    the resolved slot depth < K); VAG_FRT_DEFER=0 restores the per-step
-    cond for A/B.
+    not affect the result. Two review findings later resolved this: (a)
+    the flag is now masked to LIVE rows only (fused_readout_topk), and (b)
+    the A/B harness itself was found tracing BOTH legs under one env
+    setting (jit traces at first call, which happened after the env was
+    restored), so earlier numbers compared identical programs. With both
+    fixed, the valid interleaved full-beam-search A/B
+    (benchmarks/defer_ab.py, 25 iters, 1xv5e): deferred 249.5 vs per-step
+    cond 271.0 us/step — removing the cond's fixed cost wins ~8%, with
+    live-row violations at the analytic ~2e-6/row/step rate. DEFAULT is
+    therefore ON (on TPU, when the resolved slot depth < K);
+    VAG_FRT_DEFER=0 restores the per-step cond for A/B.
 
     True iff the fused-kernel path would be active under the same
     env/backend resolution `models.model.decode_step_topk` uses, the
