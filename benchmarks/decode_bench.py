@@ -36,20 +36,13 @@ import numpy as np
 REPS = 100
 
 
+from benchmarks._timing import bench_delta as _bench_delta
+
+
 def bench_delta(make_run, *args, warmup=1, iters=7):
-    run_n, run_2n = make_run(REPS), make_run(2 * REPS)
-    for _ in range(warmup):
-        jax.tree.map(np.asarray, run_n(*args))
-        jax.tree.map(np.asarray, run_2n(*args))
-    t1s, t2s = [], []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        jax.tree.map(np.asarray, run_n(*args))
-        t1s.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        jax.tree.map(np.asarray, run_2n(*args))
-        t2s.append(time.perf_counter() - t0)
-    return (min(t2s) - min(t1s)) / REPS
+    """See benchmarks/_timing.py (shared fetch-delta methodology)."""
+    return _bench_delta(make_run, *args, reps=REPS, warmup=warmup,
+                        iters=iters)
 
 
 def main():

@@ -37,21 +37,14 @@ REPS_FWD = 2000  # forward calls per dispatch (each ~20-100 us)
 # sub-100-us ops), and min is the standard interference-free statistic.
 
 
+from benchmarks._timing import bench_delta as _bench_delta
+
+
 def bench_delta(make_fn, *args, warmup=1, iters=9, reps=None):
-    REPS = reps if reps is not None else globals()["REPS"]
-    fn_n, fn_2n = make_fn(REPS), make_fn(2 * REPS)
-    for _ in range(warmup):
-        np.asarray(fn_n(*args))
-        np.asarray(fn_2n(*args))
-    t1s, t2s = [], []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        np.asarray(fn_n(*args))
-        t1s.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        np.asarray(fn_2n(*args))
-        t2s.append(time.perf_counter() - t0)
-    return (min(t2s) - min(t1s)) / REPS
+    """See benchmarks/_timing.py (shared fetch-delta methodology)."""
+    return _bench_delta(make_fn, *args,
+                        reps=reps if reps is not None else globals()["REPS"],
+                        warmup=warmup, iters=iters)
 
 
 def main():

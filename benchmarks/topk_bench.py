@@ -27,22 +27,13 @@ import numpy as np
 REPS = 200
 
 
+from benchmarks._timing import bench_delta as _bench_delta
+
+
 def bench_delta(make_run, *args, warmup=1, iters=9):
-    """Per-call time via REPS-delta with forced result fetch. MIN over iters
-    at both endpoints: the tunnel adds one-sided jitter up to tens of ms."""
-    run_n, run_2n = make_run(REPS), make_run(2 * REPS)
-    for _ in range(warmup):
-        np.asarray(run_n(*args))
-        np.asarray(run_2n(*args))
-    t1s, t2s = [], []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        np.asarray(run_n(*args))
-        t1s.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        np.asarray(run_2n(*args))
-        t2s.append(time.perf_counter() - t0)
-    return (min(t2s) - min(t1s)) / REPS
+    """See benchmarks/_timing.py (shared fetch-delta methodology)."""
+    return _bench_delta(make_run, *args, reps=REPS, warmup=warmup,
+                        iters=iters)
 
 
 def main():
