@@ -13,10 +13,15 @@ Protocol (all on-device, production code paths):
    neither resembles production decoding. A briefly-trained model places
    <eos> from attention on the exhausted source, so hypothesis lengths vary
    per sentence exactly like a converged translation model's.
-3. Timed: best of 3 full-corpus beam-5 decodes through `translate_corpus`
+3. Timed: MEDIAN of 3 full-corpus beam-5 decodes through `translate_corpus`
    (fused single-dispatch lax.map over fixed chunks, bf16 compute, image
-   features device-resident). Reported JSON includes the realized mean
-   hypothesis length for transparency.
+   features device-resident), with the min..max range alongside. Reported
+   JSON includes the realized mean hypothesis length for transparency.
+4. Session calibration probe (VERDICT r3 item 4): link RTT, host<->device
+   bandwidth, and one fixed reference-kernel time are measured and recorded
+   in the JSON, so cross-session drift in the headline decomposes into
+   infra (tunnel quality) vs code. The probe runs BEFORE the timed decodes
+   and touches none of their state.
 
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "sent/s/chip", "vs_baseline": N, ...}
@@ -33,6 +38,70 @@ BASELINE_SENT_PER_SEC = 5000.0  # BASELINE.json target for beam=5 on v5e
 N_SENT = 4096
 TRAIN_STEPS_MAX = 1500
 TRAIN_CHUNK = 250               # steps between length probes
+
+
+def link_probe() -> dict:
+    """Session link-quality calibration (VERDICT r3 item 4).
+
+    Three fixed measurements, medians over repeats, recorded in the bench
+    JSON so the headline's cross-session +-20% drift can be attributed
+    after the fact:
+
+    - rtt_ms: round-trip of a 4-byte device_put + device_get (dispatch +
+      fetch latency floor on the tunneled chip; ~30 ms observed r1-r3).
+    - h2d_mb_s / d2h_mb_s: 8 MiB transfer bandwidth each way (the corpus
+      upload and result fetch ride this; ~13 MB/s observed on the tunnel).
+    - kernel_ms: one fixed jitted (1024,1024)x(1024,1024) bf16 matmul,
+      executed (not compiled) — pure device time, so a drifted kernel_ms
+      means the CHIP (or XLA version) changed, while drifted rtt/bandwidth
+      with stable kernel_ms means the TUNNEL changed.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def med(f, n=5):
+        ts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            f()
+            ts.append(time.perf_counter() - t0)
+        return sorted(ts)[n // 2]
+
+    tiny = np.zeros(1, np.float32)
+    rtt = med(lambda: np.asarray(jax.device_get(jax.device_put(tiny))))
+
+    mb = 8.0
+    buf = np.random.RandomState(0).randn(int(mb * 1024 * 1024 // 4)) \
+        .astype(np.float32)
+    h2d = med(lambda: jax.device_put(buf).block_until_ready(), n=3)
+    # jax.Array caches its host copy after the first fetch, so each rep
+    # must fetch a FRESH device array (uploaded outside the timed window).
+    devs = [jax.device_put(buf).block_until_ready() for _ in range(3)]
+    it = iter(devs)
+    d2h = med(lambda: np.asarray(jax.device_get(next(it))), n=3)
+
+    # One dispatch pays the tunnel RTT (~rtt_ms), so a single matmul would
+    # time the LINK, not the chip — and subtracting rtt drowns a ~1 ms
+    # kernel chain in RTT jitter. Instead time chains of R and 3R matmuls
+    # and difference them: the dispatch cost cancels exactly and the delta
+    # is 2R kernels of pure device time.
+    x = jnp.ones((2048, 2048), jnp.bfloat16)
+
+    def chain(reps):
+        f = jax.jit(lambda a: jax.lax.fori_loop(
+            0, reps, lambda i, y: a @ y, a))
+        f(x).block_until_ready()                    # compile outside timing
+        return med(lambda: f(x).block_until_ready(), n=5)
+
+    r = 200
+    kern = max(chain(3 * r) - chain(r), 0.0) / (2 * r)
+
+    return {
+        "rtt_ms": round(rtt * 1e3, 2),
+        "h2d_mb_s": round(mb / max(h2d - rtt, 1e-9), 1),
+        "d2h_mb_s": round(mb / max(d2h - rtt, 1e-9), 1),
+        "kernel_ms": round(kern * 1e3, 3),
+    }
 
 
 def main() -> None:
@@ -52,6 +121,8 @@ def main() -> None:
     from vag_nmt_tpu.decode.translate import build_img_table, translate_corpus
     from vag_nmt_tpu.train.state import create_train_state
     from vag_nmt_tpu.train.step import make_train_step
+
+    probe = link_probe()
 
     cfg = preset("m30k_ende_vag")
     # decode_batch_size=128 measured best on v5e: chunks exit their beam
@@ -179,6 +250,7 @@ def main() -> None:
             int(np.max(stats["chunk_steps"]))],
         "train_steps_for_eos": steps_done,
         "n_sentences": N_SENT,
+        "probe": probe,
         "compute_dtype": "bfloat16",
         "achieved_tflops": round(total_flops / elapsed_med / 1e12, 2),
         "mfu": round(roof["mfu"], 4),

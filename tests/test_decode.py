@@ -457,3 +457,124 @@ def test_streaming_beam_with_caps_tables_eos_top(setup):
                                   np.asarray(ref.tokens))
     np.testing.assert_array_equal(np.asarray(res.scores),
                                   np.asarray(ref.scores))
+
+
+# ---- exact admissible beam pruning (VERDICT r3 item 1) --------------------
+
+def _scripted_beam(monkeypatch, max_len, logp_table, B, K, H=4, **kw):
+    """Run beam_search against a SCRIPTED posterior: decode_step_topk is
+    replaced by a fake that reproduces its candidate contract exactly
+    (live beams score `scores + logp`, finished beams ride <pad> at
+    log-prob 0) with per-(sentence, step) log-probs from `logp_table`
+    ((B, max_len+1, V)); the hidden state is reused as the step counter.
+    This pins the prune logic itself under a deterministic wanderer
+    posterior — brief real-model training can't reliably produce one (the
+    bound only fires when a live beam decays FASTER than the worst frozen
+    hypothesis's per-token score, which near-uniform toy posteriors never
+    do; see _make_body_1's docstring)."""
+    import dataclasses
+
+    from vag_nmt_tpu.core.config import preset
+    from vag_nmt_tpu.decode import beam as beam_mod
+    from vag_nmt_tpu.models.model import DecodeState
+
+    V = logp_table.shape[-1]
+    m = dataclasses.replace(preset("toy").model, tgt_vocab_size=V)
+    tab = jnp.asarray(logp_table, jnp.float32)
+    pad_ride = jnp.full((V,), beam_mod.NEG_INF, jnp.float32).at[PAD_ID].set(0.0)
+
+    def fake_step(params, cfg, tok, s, state, scores, finished, *,
+                  impl="auto", tables=None, defer_exact=False, exact=False):
+        t = jnp.clip(s[:, 0, 0].astype(jnp.int32), 0, max_len)
+        lp = tab[jnp.arange(s.shape[0]), t]                   # (B, V)
+        cand = scores[:, :, None] + lp[:, None, :]
+        cand = jnp.where(finished[:, :, None],
+                         scores[:, :, None] + pad_ride[None, None, :], cand)
+        top_scores, idx = jax.lax.top_k(
+            cand.reshape(s.shape[0], -1), scores.shape[1])
+        out = (s + 1.0, top_scores, idx)
+        if defer_exact:
+            out = out + (jnp.zeros((), bool),)
+        return out
+
+    monkeypatch.setattr(beam_mod, "decode_step_topk", fake_step)
+    state = DecodeState(ctx=jnp.zeros((B, 4, 8)), ctx_proj=jnp.zeros((B, 4, 8)),
+                        src_mask=jnp.ones((B, 4)), s0=jnp.zeros((B, H)))
+    return beam_mod.beam_search(params={}, cfg=m, state=state, beam_size=K,
+                                max_len=max_len, **kw)
+
+
+def _wanderer_script(max_len, V=6):
+    """Sentence 0: one hypothesis finishes immediately at -0.5, the rest
+    wander on token 4 at -1.2/step (EOS never competitive). Sentence 1:
+    everything finishes within two steps (control)."""
+    lp = np.full((2, max_len + 1, V), -20.0, np.float32)
+    lp[0, 0, [EOS_ID, 4, 5]] = [-0.5, -0.6, -3.0]
+    lp[0, 1:, [EOS_ID]] = -9.0
+    lp[0, 1:, 4] = -1.2
+    lp[0, 1:, 5] = -5.0
+    lp[1, 0, [EOS_ID, 4, 5]] = [-0.3, -0.4, -0.55]
+    lp[1, 1:, [EOS_ID]] = -0.2
+    lp[1, 1:, 4] = -4.0
+    lp[1, 1:, 5] = -5.0
+    return lp
+
+
+def test_beam_prune_fires_and_preserves_completed_ranking(monkeypatch):
+    """The admissible bound fires on the scripted wanderer (raw/cap**alpha
+    drops below the frozen hypothesis's normalized score at step ~14 << 32)
+    and the ranked output down to the last frozen slot is bit-identical
+    with pruning on/off (the exactness contract)."""
+    MAXLEN = 32
+    lp = _wanderer_script(MAXLEN)
+    on = _scripted_beam(monkeypatch, MAXLEN, lp, B=2, K=3, prune=True)
+    off = _scripted_beam(monkeypatch, MAXLEN, lp, B=2, K=3, prune=False)
+
+    t_on, l_on, s_on = map(np.asarray, (on.tokens, on.lengths, on.scores))
+    t_off, l_off, s_off = map(np.asarray, (off.tokens, off.lengths,
+                                           off.scores))
+    last_on = np.take_along_axis(t_on, np.maximum(l_on - 1, 0)[..., None],
+                                 2)[..., 0]
+    pruned = (last_on != EOS_ID) & (l_on < MAXLEN)
+
+    # It fired: sentence 0's two wanderer beams froze mid-flight...
+    assert pruned[0].sum() == 2
+    w_lens = l_on[0][pruned[0]]
+    assert (w_lens >= 10).all() and (w_lens <= 18).all()
+    # ...while without pruning they ride to max_len.
+    assert (l_off[0] == MAXLEN).sum() == 2
+    # Sentence 1 finished on its own; pruning never fired there.
+    assert pruned[1].sum() == 0
+    np.testing.assert_array_equal(t_on[1], t_off[1])
+
+    # Exactness: per sentence, everything ranked above the pruned slots
+    # (in particular the best hypothesis and every completed one) is
+    # bit-identical.
+    for b in range(2):
+        k = t_on.shape[1] - pruned[b].sum()
+        np.testing.assert_array_equal(t_on[b, :k], t_off[b, :k])
+        np.testing.assert_array_equal(l_on[b, :k], l_off[b, :k])
+        np.testing.assert_allclose(s_on[b, :k], s_off[b, :k])
+    # The winner is the immediately-finished hypothesis, found by both.
+    assert l_on[0, 0] == 1 and t_on[0, 0, 0] == EOS_ID
+    np.testing.assert_array_equal(np.asarray(on.best_tokens),
+                                  np.asarray(off.best_tokens))
+
+
+def test_beam_prune_row_cap_tightens_bound(monkeypatch):
+    """row_cap enters the admissible bound (raw/min(cap,max_len)**alpha),
+    so a tighter cap fires the prune EARLIER than max_len alone would."""
+    MAXLEN = 32
+    lp = _wanderer_script(MAXLEN)
+    caps = jnp.asarray([16, 16], jnp.int32)
+    res = _scripted_beam(monkeypatch, MAXLEN, lp, B=2, K=3, prune=True,
+                         row_cap=caps)
+    l = np.asarray(res.lengths)
+    t = np.asarray(res.tokens)
+    last = np.take_along_axis(t, np.maximum(l - 1, 0)[..., None], 2)[..., 0]
+    pruned = (last != EOS_ID) & (l < 16)
+    # threshold raw < -0.5*16 = -8 -> fires at step ~7-9, vs ~13-15 at cap 32
+    assert pruned[0].sum() == 2
+    assert (l[0][pruned[0]] <= 10).all()
+    # the frozen winner is untouched
+    assert l[0, 0] == 1 and t[0, 0, 0] == EOS_ID

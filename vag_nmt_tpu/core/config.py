@@ -159,6 +159,20 @@ class DecodeConfig:
     #     uses — mount empty; results differ only when continued search
     #     would find a better-normalized hypothesis after the top froze.]
     beam_finish: str = "all_frozen"
+    # Exact admissible beam pruning (decode/beam.py _make_body_1): freeze a
+    # sentence's live beams once their best-achievable normalized score
+    # (raw/cap**alpha; raw only decreases) is strictly below the worst
+    # already-frozen hypothesis's normalized score — they provably cannot
+    # change the ranking of any completed hypothesis. Unpins the IKEA
+    # long-caption "wanderer" regime, where under "all_frozen" a live
+    # repetition-loop beam otherwise keeps every chunk decoding to max_len
+    # (r3 measured 119-128 trips/chunk vs mean best-hyp length 24-30).
+    # Best hypothesis and all completed hypotheses are bit-identical with
+    # pruning on/off (proof in beam.py; parity-tested); only the truncation
+    # point of provably-losing incomplete tail hypotheses changes. "on"
+    # (default) / "off"; env VAG_BEAM_PRUNE overrides for A/B. No-op when
+    # length_norm_alpha < 0.
+    beam_prune: str = "on"
     # Source-relative decode length cap (marian's max-length-factor): row i
     # freezes at step ceil(max_len_factor * src_len_i) + max_len_offset
     # (clamped to [1, max_len]). 0.0 disables (default — the reference uses

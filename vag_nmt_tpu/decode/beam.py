@@ -40,7 +40,8 @@ class BeamResult(NamedTuple):
 
 
 def _make_body_1(params, cfg, state: DecodeState, tables, mode: str,
-                 max_len: int, eos_top: bool = False, row_cap=None):
+                 max_len: int, eos_top: bool = False, row_cap=None,
+                 prune_alpha=None):
     """The per-step beam body over the 7-tuple carry
     (t, last_tok (B,K), s (B,K,H), scores (B,K), tokens (B,K,L),
     finished (B,K), lengths (B,K)) — shared by `beam_search`'s while_loop
@@ -62,7 +63,33 @@ def _make_body_1(params, cfg, state: DecodeState, tables, mode: str,
     loop, where each working slot is at its own step): the same row-local
     arithmetic applies — freezing compares per row, and the token write
     lands at each row's own position via a one-hot mask over the length
-    axis instead of a shared index."""
+    axis instead of a shared index.
+
+    prune_alpha: when not None, EXACT ADMISSIBLE BEAM PRUNING is active
+    with length-norm exponent alpha (VERDICT r3 item 1; the cure for the
+    IKEA "wanderer" pinning, where under "all_frozen" one live
+    repetition-loop beam keeps a sentence decoding to max_len because
+    top-k must always fill K slots from m<K frozen candidates + live
+    expansions, so some live expansion survives every step regardless of
+    score). A live beam at raw score r (cumulative log-prob, <= 0) can
+    only DECREASE r, and its final normalized score r_fin/len_fin**alpha
+    is maximized by padding zero-cost tokens to the row's step cap:
+    bound = r / cap**alpha (alpha >= 0, len_fin <= cap). When EVERY live
+    beam of a sentence has bound strictly below the sentence's WORST
+    frozen hypothesis's normalized score, all its live beams freeze at
+    once and the sentence exits. EXACTNESS (proof, checked in
+    test_decode.test_beam_prune_*): bound < min frozen-normalized implies
+    r < f_i * (cap/len_i)**alpha <= f_i for every frozen slot i (f_i <= 0,
+    cap >= len_i), i.e. every live beam — hence every candidate it can
+    ever produce — scores strictly below every frozen slot's riding
+    score, so in the unpruned continuation (a) no frozen slot is ever
+    evicted from top-k, and (b) every later-finished or truncated
+    hypothesis ranks strictly below every currently-frozen one in the
+    final normalized ranking. The final ranked hypotheses down to the
+    last frozen slot (in particular best_tokens/best_lengths and every
+    EOS-complete hypothesis) are therefore bit-identical with pruning on
+    or off; only the content of the pruned (provably-losing, incomplete)
+    tail slots differs — truncated at the prune step instead of at cap."""
     V = cfg.tgt_vocab_size
 
     def body_1(carry):
@@ -122,12 +149,52 @@ def _make_body_1(params, cfg, state: DecodeState, tables, mode: str,
             # top_scores are descending, so beam slot 0 is the current best
             # hypothesis: once it is finished, freeze the whole sentence.
             finished = finished | finished[:, :1]
+        if prune_alpha is not None:
+            # Exact admissible pruning (see factory docstring). All in
+            # fp32 (B, K) elementwise + row reductions — negligible next
+            # to the decoder step. Strict < everywhere: ties are never
+            # pruned, so argsort tie-breaking cannot diverge.
+            a = prune_alpha
+            fnorm = top_scores / jnp.maximum(
+                lengths, 1).astype(jnp.float32) ** a
+            inf = jnp.asarray(jnp.inf, jnp.float32)
+            frozen_norm_min = jnp.min(
+                jnp.where(finished, fnorm, inf), axis=1, keepdims=True)
+            any_frozen = jnp.any(finished, axis=1, keepdims=True)
+            if row_cap is None:
+                capf = jnp.asarray(max_len, jnp.float32)
+            else:
+                capf = jnp.minimum(row_cap, max_len).astype(
+                    jnp.float32)[:, None]
+            bound = top_scores / capf ** a
+            ok = finished | (bound < frozen_norm_min)
+            finished = finished | (any_frozen
+                                   & jnp.all(ok, axis=1, keepdims=True))
         out = (t + 1, tok, s_sel, top_scores, tokens, finished, lengths)
         if mode == "defer":
             out = out + (carry[7] | v,)
         return out
 
     return body_1
+
+
+def _resolve_prune(prune: bool, length_norm_alpha: float):
+    """Resolve the admissible-pruning knob to a prune_alpha for
+    _make_body_1: env VAG_BEAM_PRUNE=on/off wins over the `prune` argument
+    (A/B convention shared with the other decode knobs), and alpha < 0
+    disables unconditionally — the bound r/cap**alpha is only admissible
+    for alpha >= 0 (negative alpha rewards SHORT hypotheses, where a live
+    beam's best future is to stop immediately, not to pad to cap)."""
+    import os
+
+    env = os.environ.get("VAG_BEAM_PRUNE", "")
+    if env in ("on", "1"):
+        prune = True
+    elif env in ("off", "0"):
+        prune = False
+    if not prune or length_norm_alpha < 0:
+        return None
+    return float(length_norm_alpha)
 
 
 def _beam_init(state: DecodeState, K: int, buf_len: int):
@@ -196,8 +263,17 @@ def beam_search(
     tables=None,
     beam_finish: str = "all_frozen",
     row_cap=None,
+    prune: bool = True,
 ) -> BeamResult:
     """row_cap: optional (B,) int32 per-row step cap (see _make_body_1).
+
+    prune: exact admissible beam pruning (default ON; see _make_body_1's
+    docstring for the bound and the exactness proof). Env VAG_BEAM_PRUNE=
+    on/off overrides for A/B. Auto-disabled when length_norm_alpha < 0
+    (the bound's direction assumes alpha >= 0). Changes ONLY the content
+    of tail hypotheses that provably rank below every completed one; all
+    completed hypotheses, their ranking, and best_tokens are bit-identical
+    with pruning on or off.
 
     beam_finish: termination semantic ("all_frozen" | "eos_top"; see
     core.config DecodeConfig.beam_finish). Under "eos_top" a sentence stops
@@ -222,6 +298,7 @@ def beam_search(
         unroll = int(env_u)
     if unroll <= 0:
         unroll = 1
+    prune_alpha = _resolve_prune(prune, length_norm_alpha)
     U = min(unroll, max_len)
     max_len_pad = -(-max_len // U) * U
     B = state.s0.shape[0]
@@ -246,7 +323,8 @@ def beam_search(
 
     def make_body(mode):                 # "plain" | "defer" | "exact"
         body_1 = _make_body_1(params, cfg, state, tables, mode, max_len,
-                              eos_top=eos_top, row_cap=row_cap)
+                              eos_top=eos_top, row_cap=row_cap,
+                              prune_alpha=prune_alpha)
         if U > 1:
             def body(carry):
                 for _ in range(U):
@@ -288,6 +366,7 @@ def beam_search_two_phase(
     tables=None,
     beam_finish: str = "all_frozen",
     row_cap=None,
+    prune: bool = True,
 ) -> tuple:
     """Two-phase straggler-compacted beam search over N = S*chunk sentences.
 
@@ -354,10 +433,12 @@ def beam_search_two_phase(
     if beam_finish not in ("all_frozen", "eos_top"):
         raise ValueError(f"unknown beam_finish {beam_finish!r}")
     eos_top = beam_finish == "eos_top"
+    prune_alpha = _resolve_prune(prune, length_norm_alpha)
 
     def body_of(st, rc=None):
         return _make_body_1(params, cfg, st, tables, "plain", max_len,
-                            eos_top=eos_top, row_cap=rc)
+                            eos_top=eos_top, row_cap=rc,
+                            prune_alpha=prune_alpha)
 
     # ---- phase 1: per-chunk early-exit loops capped at L1 ----------------
     state_chunks = jax.tree.map(
@@ -463,6 +544,7 @@ def beam_search_streaming(
     tables=None,
     beam_finish: str = "all_frozen",
     row_cap=None,
+    prune: bool = True,
 ) -> tuple:
     """Streaming-refill beam search over an N-sentence pool (continuous
     batching for beam search, cf. "A Streaming Approach For Efficient
@@ -511,6 +593,7 @@ def beam_search_streaming(
     if beam_finish not in ("all_frozen", "eos_top"):
         raise ValueError(f"unknown beam_finish {beam_finish!r}")
     eos_top = beam_finish == "eos_top"
+    prune_alpha = _resolve_prune(prune, length_norm_alpha)
     N = state.s0.shape[0]
     W = min(slots, N)
     K = beam_size
@@ -557,7 +640,8 @@ def beam_search_streaming(
         st = DecodeState(ctx=ctx_w, ctx_proj=proj_w, src_mask=mask_w,
                          s0=jnp.zeros((W, s.shape[-1]), s.dtype))
         step1 = _make_body_1(params, cfg, st, tables, "plain", max_len,
-                             eos_top=eos_top, row_cap=cap_w)
+                             eos_top=eos_top, row_cap=cap_w,
+                             prune_alpha=prune_alpha)
         t, last_tok, s, scores, hist, finished, lengths = step1(
             (t, last_tok, s, scores, hist, finished, lengths))
 

@@ -49,7 +49,7 @@ def _env_fingerprint() -> tuple:
     return tuple(os.environ.get(k, "") for k in (
         "VAG_READOUT_TOPK", "VAG_TOPK_IMPL", "VAG_FRT_SLOTS",
         "VAG_FRT_DEFER", "VAG_FRT_NOCOND", "VAG_GRU_STREAM",
-        "VAG_BEAM_UNROLL"))
+        "VAG_BEAM_UNROLL", "VAG_BEAM_PRUNE"))
 
 
 def _use_tables() -> bool:
@@ -102,7 +102,8 @@ def make_decode_fn(cfg: Config, beam_size: int, max_len: int,
                           length_norm_alpha=cfg.decode.length_norm_alpha,
                           tables=tables,
                           beam_finish=cfg.decode.beam_finish,
-                          row_cap=row_cap)
+                          row_cap=row_cap,
+                          prune=cfg.decode.beam_prune != "off")
         return res.best_tokens, res.best_lengths
 
     return decode
@@ -202,7 +203,8 @@ def _make_super_one(cfg: Config, beam_size: int, max_len: int,
                               unroll=cfg.decode.beam_unroll,
                               tables=tables,
                               beam_finish=cfg.decode.beam_finish,
-                              row_cap=row_cap)
+                              row_cap=row_cap,
+                              prune=cfg.decode.beam_prune != "off")
             steps = jnp.max(res.lengths).astype(jnp.int32)
             if nbest:
                 # full (B, K, L) hypothesis set + normalized scores,
@@ -239,7 +241,8 @@ def _make_super_one(cfg: Config, beam_size: int, max_len: int,
                 length_norm_alpha=cfg.decode.length_norm_alpha,
                 tables=tables,
                 beam_finish=cfg.decode.beam_finish,
-                row_cap=row_cap)
+                row_cap=row_cap,
+                prune=cfg.decode.beam_prune != "off")
             if nbest:
                 return (res.tokens.reshape(S, B, beam_size, max_len)
                         .astype(jnp.uint16),
@@ -262,7 +265,8 @@ def _make_super_one(cfg: Config, beam_size: int, max_len: int,
                 length_norm_alpha=cfg.decode.length_norm_alpha,
                 tables=tables,
                 beam_finish=cfg.decode.beam_finish,
-                row_cap=row_cap)
+                row_cap=row_cap,
+                prune=cfg.decode.beam_prune != "off")
             if nbest:
                 return (res.tokens.reshape(S, B, beam_size, max_len)
                         .astype(jnp.uint16),
