@@ -261,16 +261,21 @@ def test_two_phase_fused_corpus_matches(setup, monkeypatch):
 
 
 def test_two_phase_policy_resolution(monkeypatch):
-    """_use_two_phase: env > cfg; mesh and greedy force it off."""
+    """_use_two_phase: env > cfg; greedy and TP meshes force it off, a
+    pure-DP mesh composes (per-shard re-pack)."""
     from vag_nmt_tpu.core.config import preset
     from vag_nmt_tpu.decode.translate import _use_two_phase
+    from vag_nmt_tpu.parallel.sharding import make_mesh
 
     cfg = preset("toy")
     monkeypatch.delenv("VAG_TWO_PHASE", raising=False)
     assert _use_two_phase(cfg, 5, 128, None) is True      # auto, long
     assert _use_two_phase(cfg, 5, 64, None) is False      # auto, short
     assert _use_two_phase(cfg, 1, 128, None) is False     # greedy
-    assert _use_two_phase(cfg, 5, 128, object()) is False  # mesh
+    assert _use_two_phase(                                 # DP mesh: on
+        cfg, 5, 128, make_mesh(n_data=8, n_model=1)) is True
+    assert _use_two_phase(                                 # TP mesh: off
+        cfg, 5, 128, make_mesh(n_data=4, n_model=2)) is False
     on = cfg.replace(decode=dict(two_phase="on"))
     off = cfg.replace(decode=dict(two_phase="off"))
     assert _use_two_phase(on, 5, 8, None) is True
@@ -318,3 +323,68 @@ def test_streaming_fused_corpus_matches(setup, monkeypatch):
     # hysteresis lets finished rows ride, and the drain tail has no chunk
     # boundary to exit at — the win appears when n_chunks is large)
     assert st["beam_loop_steps"] > 0
+
+
+def test_mesh_two_phase_matches_single_device(setup, monkeypatch):
+    """Mesh + two-phase (VERDICT r3 item 5): the per-shard re-pack (each
+    device compacts its own rows via shard_map over 'data') produces
+    EXACTLY the single-device two-phase hypotheses — and those equal the
+    plain chunked decode (exactness is packing-independent), incl. nbest
+    lists. Accounting fields must survive the mesh path."""
+    from vag_nmt_tpu.parallel.sharding import make_mesh
+
+    cfg, params, examples, vocab = setup
+    mesh = make_mesh(n_data=8, n_model=1)
+    monkeypatch.setenv("VAG_TWO_PHASE", "off")
+    ref, _ = translate_corpus(params, cfg, examples, vocab, beam_size=3)
+    monkeypatch.setenv("VAG_TWO_PHASE", "on")
+    h_1, st_1 = translate_corpus(params, cfg, examples, vocab, beam_size=3)
+    h_m, st_m = translate_corpus(params, cfg, examples, vocab, beam_size=3,
+                                 mesh=mesh)
+    n_1, _ = translate_corpus(params, cfg, examples, vocab, beam_size=3,
+                              nbest=3)
+    n_m, _ = translate_corpus(params, cfg, examples, vocab, beam_size=3,
+                              nbest=3, mesh=mesh)
+    assert h_m == h_1 == ref
+    assert n_m == n_1
+    assert st_m["two_phase"] is True and st_1["two_phase"] is True
+    # pmax'ed trip stats: wall-clock trips of the slowest shard, so the
+    # mesh per-chunk phase-1 trips are bounded by the single-device cap
+    L1 = max(16, cfg.decode.max_len // 4)
+    assert all(s <= L1 for s in st_m["chunk_steps"])
+    assert st_m["beam_loop_steps"] > 0
+
+
+def test_mesh_streaming_matches_single_device(setup, monkeypatch):
+    """Mesh + streaming-refill decode via the same per-shard re-pack:
+    hypotheses identical to single-device streaming and to the plain
+    chunked decode."""
+    from vag_nmt_tpu.parallel.sharding import make_mesh
+
+    cfg, params, examples, vocab = setup
+    mesh = make_mesh(n_data=8, n_model=1)
+    monkeypatch.setenv("VAG_STREAM_DECODE", "off")
+    ref, _ = translate_corpus(params, cfg, examples, vocab, beam_size=3)
+    monkeypatch.setenv("VAG_STREAM_DECODE", "on")
+    h_1, _ = translate_corpus(params, cfg, examples, vocab, beam_size=3)
+    h_m, st_m = translate_corpus(params, cfg, examples, vocab, beam_size=3,
+                                 mesh=mesh)
+    assert h_m == h_1 == ref
+    assert st_m["streaming"] is True
+
+
+def test_mesh_two_phase_pallas_encoder_matches(setup, monkeypatch):
+    """Mesh + two-phase with the Pallas GRU encoder (interpret mode on
+    CPU): inside the per-shard re-pack the kernel runs its plain local
+    path (batch rows are already device-local), and hypotheses still match
+    the single-device XLA decode."""
+    from vag_nmt_tpu.parallel.sharding import make_mesh
+
+    cfg, params, examples, vocab = setup
+    mesh = make_mesh(n_data=8, n_model=1)
+    monkeypatch.setenv("VAG_TWO_PHASE", "on")
+    h_1, _ = translate_corpus(params, cfg, examples, vocab, beam_size=3)
+    cfg_p = cfg.replace(model=dict(gru_impl="pallas"))
+    h_m, _ = translate_corpus(params, cfg_p, examples, vocab, beam_size=3,
+                              mesh=mesh)
+    assert h_m == h_1

@@ -121,15 +121,25 @@ def _row_caps(cfg: Config, max_len: int, lens):
     return jnp.clip(cap, 1, max_len)
 
 
+def _mesh_repack_ok(mesh) -> bool:
+    """Whether the straggler architectures (two-phase / streaming) compose
+    with this mesh via the per-shard re-pack (see make_fused_corpus_fn):
+    requires replicated params, i.e. no model-axis sharding — under TP the
+    shard_map'ed local program would need the vocab collectives GSPMD
+    inserts on the global path, so TP meshes keep the plain chunked loop."""
+    return mesh is None or mesh.shape.get("model", 1) <= 1
+
+
 def _use_streaming(cfg: Config, beam_size: int, mesh) -> bool:
     """Streaming-refill decode policy (decode/beam.py
     beam_search_streaming). Env VAG_STREAM_DECODE=on/off overrides
     cfg.decode.streaming; "auto" currently resolves OFF pending the
-    measured default (see benchmarks + README). Beam-only; disabled under
-    a mesh (the refill's pool gathers would reshard every event)."""
+    measured default (see benchmarks + README). Beam-only; under a mesh it
+    composes via the per-shard re-pack (each device streams its own rows)
+    unless params are TP-sharded (_mesh_repack_ok)."""
     import os
 
-    if beam_size <= 1 or mesh is not None:
+    if beam_size <= 1 or not _mesh_repack_ok(mesh):
         return False
     env = os.environ.get("VAG_STREAM_DECODE", "")
     if env in ("on", "1"):
@@ -147,13 +157,13 @@ def _use_two_phase(cfg: Config, beam_size: int, max_len: int, mesh) -> bool:
     cfg.decode.two_phase policy ("auto" = on iff max_len >= 96, the
     long-caption regime where per-chunk trips dwarf the mean hypothesis
     length; measured on IKEA shapes: trips ~121 vs mean hyp 23.7). Env
-    VAG_TWO_PHASE=on/off overrides for A/B. Requires beam > 1; disabled
-    under a mesh (dynamic_slice over the row-sharded axis would force
-    resharding every straggler chunk — the mesh path keeps the plain
-    chunked loop)."""
+    VAG_TWO_PHASE=on/off overrides for A/B. Requires beam > 1; under a
+    mesh it composes via the per-shard re-pack (each device compacts its
+    own rows — see make_fused_corpus_fn) unless params are TP-sharded
+    (_mesh_repack_ok), where the plain chunked loop remains."""
     import os
 
-    if beam_size <= 1 or mesh is not None:
+    if beam_size <= 1 or not _mesh_repack_ok(mesh):
         return False
     env = os.environ.get("VAG_TWO_PHASE", "")
     if env in ("on", "1"):
@@ -357,6 +367,54 @@ def make_fused_corpus_fn(cfg: Config, beam_size: int, max_len: int,
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from vag_nmt_tpu.parallel.sharding import DATA_AXIS
+
+    if two_phase or streaming:
+        # Straggler architectures under a mesh (VERDICT r3 item 5): the
+        # compaction's argsort + dynamic_slice re-pack ROWS, which under
+        # GSPMD would reshard the row-sharded axis at every ladder rung /
+        # refill event. Instead each device re-packs ITS OWN rows: shard_map
+        # over 'data' runs the complete two-phase/streaming program per
+        # shard. Exact by the same argument that makes any chunk packing
+        # exact — the step body is row-local, so a row's carry evolves
+        # identically whichever shard and local chunk it rides in
+        # (beam.py beam_search_two_phase docstring; parity-tested on the
+        # 8-virtual-device CPU mesh). Requires replicated params
+        # (_mesh_repack_ok gates this path off for TP meshes). The
+        # trip-count stats are pmax'ed over 'data' — the realized
+        # wall-clock trips of the slowest shard, which is what the GSPMD
+        # global while_loop would have run.
+        row3 = P(None, None, DATA_AXIS)
+        row4 = P(None, None, DATA_AXIS, None)
+        row5 = P(None, None, DATA_AXIS, None, None)
+        rep_s = P()
+        out_specs = ((row5, row4, row4, rep_s, rep_s)
+                     if nbest and beam_size > 1
+                     else (row4, row3, rep_s, rep_s))
+
+        def local(params, src, src_lens, ids, img_table):
+            if cfg.model.compute_dtype == "bfloat16":
+                params_c = cast_floats(params, jnp.bfloat16)
+            else:
+                params_c = params
+            tables = (decode_tables(params_c["decoder"]) if use_tables
+                      else None)
+            out = jax.lax.map(
+                lambda a: super_one(params_c, img_table, tables, a),
+                (src, src_lens, ids))
+            # Both architectures end in exactly two chunk-stat leaves
+            # (phase-1 trips + phase-2 trips, or trips + refills): make
+            # them replicated via pmax so they can leave as P().
+            stats = tuple(jax.lax.pmax(x, DATA_AXIS) for x in out[-2:])
+            return out[:-2] + stats
+
+        # check_vma=False: the Pallas GRU kernel inside carries no
+        # varying-axis metadata (same reason as ops/pallas_gru._sharded_scan,
+        # whose own shard_map is NOT active here — batch rows are already
+        # device-local, so the kernel runs its plain single-shard path).
+        return jax.jit(jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(), row4, row3, row3, P()),
+            out_specs=out_specs, check_vma=False))
 
     rep = NamedSharding(mesh, P())
     row = NamedSharding(mesh, P(None, None, DATA_AXIS))  # (ns, S, B)
@@ -591,6 +649,7 @@ def _translate_fused(params, cfg, examples, tgt_vocab, beam_size, max_len,
     else:
         run = make_fused_corpus_fn(cfg, beam_size, max_len, multimodal, mesh,
                                    nbest=bool(nbest), use_tables=use_tab,
+                                   two_phase=two_phase, streaming=streaming,
                                    env_key=_env_fingerprint())
         raw = run(
             params,
