@@ -270,6 +270,152 @@ def main():
 
     tables0 = decode_tables(params["decoder"])
 
+    # ---- post-round-3 decomposition of the PRODUCTION (tabled) step ------
+    # (VERDICT r3 weak #1 / next #2). The tabled body is:
+    #   T1 table gathers        xg1[tok], ty[tok] row gathers
+    #   T2 GRU1 cell            gru_cell_from_xgates off the gathered gates
+    #   T3 w_s GEMM + attention qh = s_tilde @ [ua|uh2]; Bahdanau over beams
+    #   T4 w_c GEMM + GRU2+read xc = c @ [wx2|wc]; cell-from-gates; tanh
+    #   E  fused readout->topk  (measured above)
+    #   F  beam gathers + write (measured above)
+    #   W  while_loop overhead  production body under while_loop(cond) vs
+    #                           the same body under fori_loop
+    #   PR prune arithmetic     the admissible-bound freeze (r4)
+    from vag_nmt_tpu.ops.attention import bahdanau_attend_beams_q
+    from vag_nmt_tpu.ops.gru import gru_cell_from_gates
+
+    g2 = dp["gru2"]
+    A = dp["attn"]["ua"].shape[1]
+    Cdim = m.ctx_dim
+
+    def case_tab_gathers(n):
+        @jax.jit
+        def run(s, scores, tokens):
+            def body(t, carry):
+                acc1, acc2 = carry
+                tok = (tok0 + t) % V
+                xg1 = jnp.take(tables0["xg1"], tok.reshape(-1), axis=0)
+                ty = jnp.take(tables0["ty"], tok.reshape(-1), axis=0)
+                return acc1 + xg1[:, 0] * 1e-9, acc2 + ty[:, 0] * 1e-9
+            return jax.lax.fori_loop(
+                0, n, body,
+                (jnp.zeros((B * K,), jnp.float32),
+                 jnp.zeros((B * K,), jnp.float32)))
+        return run
+
+    def case_tab_gru1(n):
+        xg1_0 = jnp.asarray(rng.randn(B * K, 3 * H), jnp.float32)
+
+        @jax.jit
+        def run(s, scores, tokens):
+            def body(t, s):
+                s_tilde = gru_cell_from_xgates(
+                    dp["gru1"], xg1_0 + s[:, :1] * 1e-9, s)
+                return s_tilde
+            return jax.lax.fori_loop(0, n, body, s.reshape(B * K, H)
+                                     .astype(jnp.float32))
+        return run
+
+    def case_tab_ws_attn(n):
+        @jax.jit
+        def run(s, scores, tokens):
+            def body(t, carry):
+                st, acc = carry
+                qh = jnp.dot(st, tables0["w_s"],
+                             preferred_element_type=jnp.float32)
+                c, _ = bahdanau_attend_beams_q(
+                    dp["attn"], qh[:, :A].reshape(B, K, A), ctx, ctx_proj,
+                    src_mask)
+                return (st * 0.99
+                        + qh[:, A:A + H].astype(st.dtype) * 0.01,
+                        acc + c.reshape(B * K, -1)[:, 0] * 1e-9)
+            return jax.lax.fori_loop(
+                0, n, body, (s.reshape(B * K, H),
+                             jnp.zeros((B * K,), jnp.float32)))
+        return run
+
+    def case_tab_wc_gru2_readout(n):
+        c0f = jnp.asarray(rng.randn(B * K, Cdim), jnp.bfloat16)
+        qh0 = jnp.asarray(rng.randn(B * K, 3 * H), jnp.float32)
+        ty0 = jnp.asarray(rng.randn(B * K, tables0["ty"].shape[1]),
+                          jnp.float32)
+
+        @jax.jit
+        def run(s, scores, tokens):
+            def body(t, carry):
+                st, acc = carry
+                cc = c0f + st[:, :1].astype(c0f.dtype) * 1e-9
+                xc = jnp.dot(cc, tables0["w_c"],
+                             preferred_element_type=jnp.float32)
+                s_new = gru_cell_from_gates(
+                    xc[:, :3 * H] + g2["bi"], qh0 + g2["bh"], st)
+                tt = jnp.tanh(ty0 + jnp.dot(
+                    s_new, dp["readout"]["ws"],
+                    preferred_element_type=jnp.float32)
+                    + xc[:, 3 * H:] + dp["readout"]["b"])
+                return s_new, acc + tt[:, 0] * 1e-9
+            return jax.lax.fori_loop(
+                0, n, body, (s.reshape(B * K, H).astype(jnp.float32),
+                             jnp.zeros((B * K,), jnp.float32)))
+        return run
+
+    def case_prune_arith(n):
+        lengths0 = jnp.asarray(rng.randint(1, 30, (B, K)), jnp.int32)
+
+        @jax.jit
+        def run(s, scores, tokens):
+            def body(t, carry):
+                sc, fin = carry
+                fnorm = sc / jnp.maximum(lengths0, 1).astype(jnp.float32)
+                inf = jnp.asarray(jnp.inf, jnp.float32)
+                fmin = jnp.min(jnp.where(fin, fnorm, inf), axis=1,
+                               keepdims=True)
+                anyf = jnp.any(fin, axis=1, keepdims=True)
+                bound = sc / 64.0
+                ok = fin | (bound < fmin)
+                fin = fin | (anyf & jnp.all(ok, axis=1, keepdims=True))
+                return sc - 0.01, fin
+            sc, fin = jax.lax.fori_loop(0, n, body, (scores, finished0))
+            return sc, fin
+        return run
+
+    def make_case_prod_while(tables):
+        # The PRODUCTION body under a counting while_loop: the per-step
+        # all-finished cond + loop machinery on top of the fori body —
+        # (this minus Pt) = while_loop overhead per step.
+        from vag_nmt_tpu.models.model import decode_step_topk
+
+        def case(n):
+            @jax.jit
+            def run(s, scores, tokens):
+                def cond(carry):
+                    t, _, _, scores, _ = carry
+                    return (t < n) & ~jnp.all(scores < -1e8)
+
+                def body(carry):
+                    t, tok, s, scores, tokens = carry
+                    s_new, top_scores, idx = decode_step_topk(
+                        params, m, tok, s, state, scores, finished0,
+                        impl="fused", tables=tables)
+                    beam_idx = idx // V
+                    tokn = (idx % V).astype(jnp.int32)
+
+                    def sel(x):
+                        return jnp.take_along_axis(
+                            x, beam_idx.reshape(
+                                beam_idx.shape + (1,) * (x.ndim - 2)),
+                            axis=1)
+
+                    s_sel = sel(s_new)
+                    tokens = sel(tokens)
+                    tokens = tokens.at[:, :, t % 64].set(tokn)
+                    return t + 1, tokn, s_sel, top_scores, tokens
+                _, tok, s, scores, tokens = jax.lax.while_loop(
+                    cond, body, (0, tok0, s, scores, tokens))
+                return s, scores, tokens
+            return run
+        return case
+
     cases = [
         ("A_full_body", case_full),
         ("B_step_with_logits", case_step_logits),
@@ -281,6 +427,12 @@ def main():
         ("F_gathers", case_gathers),
         ("P_prod_body", make_case_prod(None)),
         ("Pt_prod_body_tabled", make_case_prod(tables0)),
+        ("T1_table_gathers", case_tab_gathers),
+        ("T2_gru1_cell", case_tab_gru1),
+        ("T3_ws_gemm_attn", case_tab_ws_attn),
+        ("T4_wc_gru2_readout", case_tab_wc_gru2_readout),
+        ("PR_prune_arith", case_prune_arith),
+        ("Wt_prod_while_tabled", make_case_prod_while(tables0)),
     ]
     try:
         from vag_nmt_tpu.ops.pallas_readout_topk import fused_readout_topk
@@ -321,6 +473,18 @@ def main():
         print(f"\noutput GEMM + logits materialization (B-C): {b - c:.1f} us")
         print(f"decomposed C+D+F: {c + d + f:.1f} us vs full {a:.1f} us "
               f"(glue/unexplained: {a - c - d - f:.1f} us)")
+    pt = out.get("Pt_prod_body_tabled")
+    wt = out.get("Wt_prod_while_tabled")
+    parts = [out.get(k) for k in ("T1_table_gathers", "T2_gru1_cell",
+                                  "T3_ws_gemm_attn", "T4_wc_gru2_readout",
+                                  "E_fused_readout_topk", "F_gathers")]
+    if pt is not None and all(x is not None for x in parts):
+        tot = sum(parts)
+        print(f"\nPRODUCTION (tabled) decomposition: "
+              f"T1+T2+T3+T4+E+F = {tot:.1f} us vs Pt {pt:.1f} us "
+              f"(glue/unexplained: {pt - tot:.1f} us)")
+        if wt is not None:
+            print(f"while_loop overhead (Wt - Pt): {wt - pt:.1f} us/step")
     print(json.dumps(out))
 
 

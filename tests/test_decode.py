@@ -484,7 +484,8 @@ def _scripted_beam(monkeypatch, max_len, logp_table, B, K, H=4, **kw):
     pad_ride = jnp.full((V,), beam_mod.NEG_INF, jnp.float32).at[PAD_ID].set(0.0)
 
     def fake_step(params, cfg, tok, s, state, scores, finished, *,
-                  impl="auto", tables=None, defer_exact=False, exact=False):
+                  impl="auto", tables=None, defer_exact=False, exact=False,
+                  ban=None):
         t = jnp.clip(s[:, 0, 0].astype(jnp.int32), 0, max_len)
         lp = tab[jnp.arange(s.shape[0]), t]                   # (B, V)
         cand = scores[:, :, None] + lp[:, None, :]
@@ -578,3 +579,83 @@ def test_beam_prune_row_cap_tightens_bound(monkeypatch):
     assert (l[0][pruned[0]] <= 10).all()
     # the frozen winner is untouched
     assert l[0, 0] == 1 and t[0, 0, 0] == EOS_ID
+
+
+# ---- no-repeat n-gram blocking (semantic knob; r4) -------------------------
+
+def _ngram_repeats(toks, length, n):
+    """Count repeated n-grams in toks[:length] (fairseq ban semantics: an
+    n-gram occurring twice). The final <eos> participates like any token."""
+    seen, reps = set(), 0
+    for i in range(max(0, int(length) - n + 1)):
+        g = tuple(int(x) for x in toks[i:i + n])
+        if g in seen:
+            reps += 1
+        seen.add(g)
+    return reps
+
+
+def test_block_ngram_outputs_have_no_repeats(setup):
+    """With block_ngram=n, NO ranked hypothesis may contain a repeated
+    n-gram (the ban is applied at candidate scoring, so a repeat can never
+    be selected). The unblocked random-init decode must show repeats
+    somewhere (or the property test would be vacuous)."""
+    params, m, state = setup
+    n = 2
+    base = beam_search(params, m, state, beam_size=4, max_len=24,
+                       block_ngram=0)
+    blocked = beam_search(params, m, state, beam_size=4, max_len=24,
+                          block_ngram=n)
+    t0, l0 = np.asarray(base.tokens), np.asarray(base.lengths)
+    t1, l1 = np.asarray(blocked.tokens), np.asarray(blocked.lengths)
+    base_reps = sum(_ngram_repeats(t0[b, k], l0[b, k], n)
+                    for b in range(t0.shape[0]) for k in range(t0.shape[1]))
+    assert base_reps > 0, "vacuous: unblocked decode produced no repeats"
+    for b in range(t1.shape[0]):
+        for k in range(t1.shape[1]):
+            assert _ngram_repeats(t1[b, k], l1[b, k], n) == 0, (b, k)
+
+
+def test_block_ngram_architecture_parity(setup):
+    """Blocking computes its ban list from the token buffer + the step
+    counter, both of which differ in REPRESENTATION across the three beam
+    architectures (shared scalar t vs per-row t; re-packed chunks) — the
+    results must be identical anyway."""
+    from vag_nmt_tpu.decode.beam import (
+        beam_search_streaming,
+        beam_search_two_phase,
+    )
+
+    params, m, state = setup
+    kw = dict(beam_size=3, max_len=16, block_ngram=2)
+    ref = beam_search(params, m, state, **kw)
+    two, _, _ = beam_search_two_phase(params, m, state, chunk=3,
+                                      split_len=4, **kw)
+    stre, _, _ = beam_search_streaming(params, m, state, slots=3,
+                                       refill_threshold=1, **kw)
+    for got in (two, stre):
+        np.testing.assert_array_equal(np.asarray(got.tokens),
+                                      np.asarray(ref.tokens))
+        np.testing.assert_array_equal(np.asarray(got.lengths),
+                                      np.asarray(ref.lengths))
+        np.testing.assert_allclose(np.asarray(got.scores),
+                                   np.asarray(ref.scores), rtol=1e-6)
+
+
+def test_block_ngram_env_override(setup, monkeypatch):
+    """VAG_BLOCK_NGRAM env wins over the argument (A/B convention)."""
+    params, m, state = setup
+    ref_on = beam_search(params, m, state, beam_size=3, max_len=16,
+                         block_ngram=2)
+    monkeypatch.setenv("VAG_BLOCK_NGRAM", "2")
+    via_env = beam_search(params, m, state, beam_size=3, max_len=16,
+                          block_ngram=0)
+    np.testing.assert_array_equal(np.asarray(via_env.tokens),
+                                  np.asarray(ref_on.tokens))
+    monkeypatch.setenv("VAG_BLOCK_NGRAM", "0")
+    via_off = beam_search(params, m, state, beam_size=3, max_len=16,
+                          block_ngram=2)
+    ref_off = beam_search(params, m, state, beam_size=3, max_len=16,
+                          block_ngram=0)
+    np.testing.assert_array_equal(np.asarray(via_off.tokens),
+                                  np.asarray(ref_off.tokens))

@@ -163,16 +163,29 @@ class DecodeConfig:
     # sentence's live beams once their best-achievable normalized score
     # (raw/cap**alpha; raw only decreases) is strictly below the worst
     # already-frozen hypothesis's normalized score — they provably cannot
-    # change the ranking of any completed hypothesis. Unpins the IKEA
-    # long-caption "wanderer" regime, where under "all_frozen" a live
-    # repetition-loop beam otherwise keeps every chunk decoding to max_len
-    # (r3 measured 119-128 trips/chunk vs mean best-hyp length 24-30).
-    # Best hypothesis and all completed hypotheses are bit-identical with
-    # pruning on/off (proof in beam.py; parity-tested); only the truncation
-    # point of provably-losing incomplete tail hypotheses changes. "on"
-    # (default) / "off"; env VAG_BEAM_PRUNE overrides for A/B. No-op when
-    # length_norm_alpha < 0.
+    # change the ranking of any completed hypothesis. Best hypothesis and
+    # all completed hypotheses are bit-identical with pruning on/off (proof
+    # in beam.py; parity-tested); only the truncation point of provably-
+    # losing incomplete tail hypotheses changes. Regime (measured, IKEA
+    # exercise r4): the bound fires only on FAST-DECAYING live beams; a
+    # confident repetition loop decays slower per token than the frozen
+    # hypotheses' average, so its ceiling raw/cap**alpha stays competitive
+    # and no exact rule may remove it (r/cap**alpha is the tightest
+    # model-free bound). Blocking repetitions (block_ngram) forces such
+    # loops into the fast-decay regime where this prune then freezes them
+    # — the two knobs compose. "on" (default) / "off"; env VAG_BEAM_PRUNE
+    # overrides for A/B. No-op when length_norm_alpha < 0.
     beam_prune: str = "on"
+    # No-repeat n-gram blocking (fairseq/Paulus-2017 semantics): a
+    # candidate token is banned (log-prob forced to -inf) when it would
+    # complete an n-gram already present in that beam's own hypothesis.
+    # 0 (default) disables. SEMANTIC knob — outputs change by design (the
+    # production cure for degenerate repetition loops, which under
+    # length normalization can legitimately outscore real hypotheses and
+    # pin long-max_len decodes; see docs/usage.md "IKEA regime"). Forces
+    # the unfused readout->top-k path (the streaming kernel has no ban
+    # input); env VAG_BLOCK_NGRAM=N overrides for A/B.
+    block_ngram: int = 0
     # Source-relative decode length cap (marian's max-length-factor): row i
     # freezes at step ceil(max_len_factor * src_len_i) + max_len_offset
     # (clamped to [1, max_len]). 0.0 disables (default — the reference uses

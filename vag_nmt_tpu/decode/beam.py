@@ -41,7 +41,7 @@ class BeamResult(NamedTuple):
 
 def _make_body_1(params, cfg, state: DecodeState, tables, mode: str,
                  max_len: int, eos_top: bool = False, row_cap=None,
-                 prune_alpha=None):
+                 prune_alpha=None, block_ngram: int = 0):
     """The per-step beam body over the 7-tuple carry
     (t, last_tok (B,K), s (B,K,H), scores (B,K), tokens (B,K,L),
     finished (B,K), lengths (B,K)) — shared by `beam_search`'s while_loop
@@ -89,12 +89,53 @@ def _make_body_1(params, cfg, state: DecodeState, tables, mode: str,
     last frozen slot (in particular best_tokens/best_lengths and every
     EOS-complete hypothesis) are therefore bit-identical with pruning on
     or off; only the content of the pruned (provably-losing, incomplete)
-    tail slots differs — truncated at the prune step instead of at cap."""
+    tail slots differs — truncated at the prune step instead of at cap.
+
+    block_ngram: when n > 0, NO-REPEAT N-GRAM BLOCKING is active
+    (fairseq/Paulus-2017 semantics; core.config DecodeConfig.block_ngram —
+    a SEMANTIC knob, outputs change by design): a candidate token is
+    banned when appending it would complete an n-gram already present in
+    that beam's own hypothesis. Computed per step from the token buffer
+    itself — the (n-1)-token suffix ending at the row's current position
+    is compared against every fully-past window (one shifted equality per
+    suffix position, vectorized over (B, K, L)), and each matching
+    window's NEXT token becomes a banned id. The ban list (sentinel V =
+    no ban, dropped by scatter) rides to decode_step_topk, which forces
+    the unfused readout path and scatters -inf into those logits. Live
+    rows only by construction: finished rows' candidates never come from
+    logits (beam_topk rides them on <pad>), and a live row's filled
+    prefix never contains <pad>/<eos>, so specials are never banned."""
     V = cfg.tgt_vocab_size
 
     def body_1(carry):
         t, last_tok, s, scores, tokens, finished, lengths = carry[:7]
         t_col = t if jnp.ndim(t) == 0 else t[:, None]       # (B,1) when vec
+        ban = None
+        if block_ngram > 0:
+            n = block_ngram
+            nm1 = n - 1
+            B, K, L = tokens.shape
+            t_b = jnp.broadcast_to(jnp.asarray(t_col, jnp.int32)
+                                   .reshape(-1, 1), (B, 1))
+            # -1 tail padding never equals a real token id, so windows
+            # reaching past L cannot match.
+            padded = jnp.concatenate(
+                [tokens, jnp.full((B, K, nm1), -1, tokens.dtype)], axis=-1)
+            match = jnp.ones((B, K, L), bool)
+            for j in range(nm1):
+                # suffix token at absolute position t - (n-1) + j
+                idx = jnp.clip(t_b + (j - nm1), 0, L - 1)      # (B, 1)
+                last_j = jnp.take_along_axis(
+                    tokens, jnp.broadcast_to(idx[:, :, None], (B, K, 1)),
+                    axis=2)[..., 0]                            # (B, K)
+                match = match & (padded[:, :, j:j + L]
+                                 == last_j[:, :, None])
+            # window [i, i+n-1] must lie fully in the decoded past
+            valid = (jnp.arange(L, dtype=jnp.int32)[None, :]
+                     <= t_b - n)[:, None, :]                   # (B, 1, L)
+            ban = jnp.where(match & valid,
+                            padded[:, :, nm1:nm1 + L].astype(jnp.int32),
+                            V)
         # Steps past max_len exist only inside a partially-finished
         # unroll block; freezing every row there makes them exact
         # no-ops, so scores/lengths of never-finishing rows match the
@@ -114,11 +155,11 @@ def _make_body_1(params, cfg, state: DecodeState, tables, mode: str,
         if mode == "defer":
             s_new, top_scores, idx, v = decode_step_topk(
                 params, cfg, last_tok, s, state, scores, finished,
-                tables=tables, defer_exact=True)
+                tables=tables, defer_exact=True, ban=ban)
         else:
             s_new, top_scores, idx = decode_step_topk(
                 params, cfg, last_tok, s, state, scores, finished,
-                tables=tables, exact=(mode == "exact"))
+                tables=tables, exact=(mode == "exact"), ban=ban)
         beam_idx = idx // V
         tok = (idx % V).astype(jnp.int32)
 
@@ -197,6 +238,18 @@ def _resolve_prune(prune: bool, length_norm_alpha: float):
     return float(length_norm_alpha)
 
 
+def _resolve_block(block_ngram: int) -> int:
+    """Env VAG_BLOCK_NGRAM=N wins over the argument (A/B convention shared
+    with the other decode knobs); n <= 1 disables (a 1-gram ban would
+    forbid every previously-used token)."""
+    import os
+
+    env = os.environ.get("VAG_BLOCK_NGRAM", "")
+    if env:
+        block_ngram = int(env)
+    return block_ngram if block_ngram > 1 else 0
+
+
 def _beam_init(state: DecodeState, K: int, buf_len: int):
     """Initial 7-tuple carry for a beam search over state's B sentences."""
     B = state.s0.shape[0]
@@ -264,8 +317,13 @@ def beam_search(
     beam_finish: str = "all_frozen",
     row_cap=None,
     prune: bool = True,
+    block_ngram: int = 0,
 ) -> BeamResult:
     """row_cap: optional (B,) int32 per-row step cap (see _make_body_1).
+
+    block_ngram: no-repeat n-gram blocking (SEMANTIC; see _make_body_1's
+    docstring and core.config DecodeConfig.block_ngram). 0 disables. Env
+    VAG_BLOCK_NGRAM=N overrides for A/B.
 
     prune: exact admissible beam pruning (default ON; see _make_body_1's
     docstring for the bound and the exactness proof). Env VAG_BEAM_PRUNE=
@@ -299,6 +357,7 @@ def beam_search(
     if unroll <= 0:
         unroll = 1
     prune_alpha = _resolve_prune(prune, length_norm_alpha)
+    block_n = _resolve_block(block_ngram)
     U = min(unroll, max_len)
     max_len_pad = -(-max_len // U) * U
     B = state.s0.shape[0]
@@ -324,7 +383,7 @@ def beam_search(
     def make_body(mode):                 # "plain" | "defer" | "exact"
         body_1 = _make_body_1(params, cfg, state, tables, mode, max_len,
                               eos_top=eos_top, row_cap=row_cap,
-                              prune_alpha=prune_alpha)
+                              prune_alpha=prune_alpha, block_ngram=block_n)
         if U > 1:
             def body(carry):
                 for _ in range(U):
@@ -367,6 +426,7 @@ def beam_search_two_phase(
     beam_finish: str = "all_frozen",
     row_cap=None,
     prune: bool = True,
+    block_ngram: int = 0,
 ) -> tuple:
     """Two-phase straggler-compacted beam search over N = S*chunk sentences.
 
@@ -434,11 +494,12 @@ def beam_search_two_phase(
         raise ValueError(f"unknown beam_finish {beam_finish!r}")
     eos_top = beam_finish == "eos_top"
     prune_alpha = _resolve_prune(prune, length_norm_alpha)
+    block_n = _resolve_block(block_ngram)
 
     def body_of(st, rc=None):
         return _make_body_1(params, cfg, st, tables, "plain", max_len,
                             eos_top=eos_top, row_cap=rc,
-                            prune_alpha=prune_alpha)
+                            prune_alpha=prune_alpha, block_ngram=block_n)
 
     # ---- phase 1: per-chunk early-exit loops capped at L1 ----------------
     state_chunks = jax.tree.map(
@@ -545,6 +606,7 @@ def beam_search_streaming(
     beam_finish: str = "all_frozen",
     row_cap=None,
     prune: bool = True,
+    block_ngram: int = 0,
 ) -> tuple:
     """Streaming-refill beam search over an N-sentence pool (continuous
     batching for beam search, cf. "A Streaming Approach For Efficient
@@ -594,6 +656,7 @@ def beam_search_streaming(
         raise ValueError(f"unknown beam_finish {beam_finish!r}")
     eos_top = beam_finish == "eos_top"
     prune_alpha = _resolve_prune(prune, length_norm_alpha)
+    block_n = _resolve_block(block_ngram)
     N = state.s0.shape[0]
     W = min(slots, N)
     K = beam_size
@@ -641,7 +704,7 @@ def beam_search_streaming(
                          s0=jnp.zeros((W, s.shape[-1]), s.dtype))
         step1 = _make_body_1(params, cfg, st, tables, "plain", max_len,
                              eos_top=eos_top, row_cap=cap_w,
-                             prune_alpha=prune_alpha)
+                             prune_alpha=prune_alpha, block_ngram=block_n)
         t, last_tok, s, scores, hist, finished, lengths = step1(
             (t, last_tok, s, scores, hist, finished, lengths))
 

@@ -49,7 +49,7 @@ def _env_fingerprint() -> tuple:
     return tuple(os.environ.get(k, "") for k in (
         "VAG_READOUT_TOPK", "VAG_TOPK_IMPL", "VAG_FRT_SLOTS",
         "VAG_FRT_DEFER", "VAG_FRT_NOCOND", "VAG_GRU_STREAM",
-        "VAG_BEAM_UNROLL", "VAG_BEAM_PRUNE"))
+        "VAG_BEAM_UNROLL", "VAG_BEAM_PRUNE", "VAG_BLOCK_NGRAM"))
 
 
 def _use_tables() -> bool:
@@ -103,7 +103,8 @@ def make_decode_fn(cfg: Config, beam_size: int, max_len: int,
                           tables=tables,
                           beam_finish=cfg.decode.beam_finish,
                           row_cap=row_cap,
-                          prune=cfg.decode.beam_prune != "off")
+                          prune=cfg.decode.beam_prune != "off",
+                          block_ngram=cfg.decode.block_ngram)
         return res.best_tokens, res.best_lengths
 
     return decode
@@ -214,7 +215,8 @@ def _make_super_one(cfg: Config, beam_size: int, max_len: int,
                               tables=tables,
                               beam_finish=cfg.decode.beam_finish,
                               row_cap=row_cap,
-                              prune=cfg.decode.beam_prune != "off")
+                              prune=cfg.decode.beam_prune != "off",
+                              block_ngram=cfg.decode.block_ngram)
             steps = jnp.max(res.lengths).astype(jnp.int32)
             if nbest:
                 # full (B, K, L) hypothesis set + normalized scores,
@@ -252,7 +254,8 @@ def _make_super_one(cfg: Config, beam_size: int, max_len: int,
                 tables=tables,
                 beam_finish=cfg.decode.beam_finish,
                 row_cap=row_cap,
-                prune=cfg.decode.beam_prune != "off")
+                prune=cfg.decode.beam_prune != "off",
+                block_ngram=cfg.decode.block_ngram)
             if nbest:
                 return (res.tokens.reshape(S, B, beam_size, max_len)
                         .astype(jnp.uint16),
@@ -276,7 +279,8 @@ def _make_super_one(cfg: Config, beam_size: int, max_len: int,
                 tables=tables,
                 beam_finish=cfg.decode.beam_finish,
                 row_cap=row_cap,
-                prune=cfg.decode.beam_prune != "off")
+                prune=cfg.decode.beam_prune != "off",
+                block_ngram=cfg.decode.block_ngram)
             if nbest:
                 return (res.tokens.reshape(S, B, beam_size, max_len)
                         .astype(jnp.uint16),

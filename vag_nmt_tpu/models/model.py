@@ -178,6 +178,7 @@ def decode_step_topk(
     tables: Optional[Dict[str, jnp.ndarray]] = None,
     defer_exact: bool = False,
     exact: bool = False,
+    ban: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, ...]:
     """One beam step fused with candidate scoring + top-K: returns
     (s_new (B,K,H), top_scores (B,K), flat_idx (B,K), flat = beam*V + token)
@@ -194,8 +195,15 @@ def decode_step_topk(
     ops/pallas_readout_topk.fused_readout_topk). Constant False on the
     unfused path, which is unconditionally exact.
     exact: force the slot depth to K (the unconditionally exact kernel) —
-    the chunk-rerun branch of the deferred recovery."""
-    if impl == "auto":
+    the chunk-rerun branch of the deferred recovery.
+    ban: optional (B, K, M) int32 banned-token ids for no-repeat n-gram
+    blocking (decode/beam.py; id == V is a no-op sentinel, dropped by the
+    scatter). Forces the unfused path — the streaming readout->top-k
+    kernel has no ban input — and scatters -inf into the banned logits
+    before candidate scoring."""
+    if ban is not None:
+        impl = "unfused"
+    elif impl == "auto":
         import os
 
         impl = os.environ.get("VAG_READOUT_TOPK", "")
@@ -221,6 +229,14 @@ def decode_step_topk(
     from vag_nmt_tpu.ops.pallas_topk import beam_topk
 
     s_new, logits = decode_step(params, cfg, tok, s, state, tables)
+    if ban is not None:
+        Bk, Kk, Vk = logits.shape
+        flat = logits.reshape(Bk * Kk, Vk)
+        rows = jnp.arange(Bk * Kk, dtype=jnp.int32)[:, None]
+        # scatter-min; out-of-range sentinel ids (== V) are dropped
+        flat = flat.at[rows, ban.reshape(Bk * Kk, -1)].min(
+            jnp.float32(-1e9))
+        logits = flat.reshape(Bk, Kk, Vk)
     top_scores, idx = beam_topk(logits, scores, finished)
     if defer_exact:
         return s_new, top_scores, idx, jnp.zeros((), bool)
