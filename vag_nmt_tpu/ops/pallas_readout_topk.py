@@ -28,7 +28,17 @@ Per-row ordering is exact (adding the per-row base preserves the raw-logit
 order); cross-beam values match beam_topk bitwise except when fp32 rounding
 of base+logit creates a tie that did not exist in the raw logits — a
 measure-zero corner the parity tests cover with integer-valued weights
-(exact) plus random-data index equality."""
+(exact) plus random-data index equality.
+
+Cost anatomy (r4, fetch-delta at R=640, V=8000, E=256 on 1xv5e): the hot
+loop (GEMM + cascade + online lse) is ~26 us — the cascade and lse are
+nearly free next to the MXU work — and the CROSS-LANE MERGE dominated at
+~51 us/call (2*sk lane reductions per extract round = Mosaic relayouts).
+Concatenating the slot arrays first (2 reductions per round) cut the merge
+to ~22 us: whole kernel 96.6 -> 54.9 us/call in deferred mode. A variant
+moving the merge to XLA entirely (kernel emits raw (R, sk*128) slots, XLA
+does one lexicographic 2-key sort) measured WORSE (128 us: the sort plus
+per-grid-step writeback of output-ref state) and was removed."""
 
 from __future__ import annotations
 
@@ -97,7 +107,7 @@ def deferred_exactness_active(K: int) -> bool:
 
 def _kernel(t_ref, w_ref, b_ref, vals_ref, idx_ref, lse_ref, viol_ref,
             lg, s_l, w_mark, *slots, V: int, tv: int, K: int, sk: int,
-            direct: bool):
+            direct: bool, no_lse: bool = False, no_cascade: bool = False):
     """Grid (nv,): one row tile holding all R rows; vocab streams in tv-wide
     blocks. Scratch (persists across grid steps): lg (R, tv) f32 logits
     block, s_l (R, 128) per-lane sumexp relative to the per-lane max
@@ -159,10 +169,16 @@ def _kernel(t_ref, w_ref, b_ref, vals_ref, idx_ref, lse_ref, viol_ref,
         x = jnp.where(xi < V, x, _FLOOR)
         # Online logsumexp, per lane, referenced to the running top-1 slot
         # (vals[0] IS the per-lane max). _FLOOR fillers contribute exp of
-        # ~-3e38 -> exactly 0.
-        m_old = vals[0]
-        m_new = jnp.maximum(m_old, x)
-        s = s * jnp.exp(m_old - m_new) + jnp.exp(x - m_new)
+        # ~-3e38 -> exactly 0. (no_lse/no_cascade are BENCH-ONLY cost-split
+        # knobs for benchmarks/fused_topk_tune.py — never set in production.)
+        if not no_lse:
+            m_old = vals[0]
+            m_new = jnp.maximum(m_old, x)
+            s = s * jnp.exp(m_old - m_new) + jnp.exp(x - m_new)
+        if no_cascade:
+            # bench-only: keep just the max tracker the lse references
+            vals[0] = jnp.maximum(vals[0], x)
+            continue
         # Insertion cascade (branch-free): x sinks through the sk sorted
         # slots; strict > keeps the stored (earlier-index) entry on ties.
         for i in range(sk):
@@ -183,30 +199,29 @@ def _kernel(t_ref, w_ref, b_ref, vals_ref, idx_ref, lse_ref, viol_ref,
 
     @pl.when(j == nv - 1)
     def _():
-        # Cross-lane top-K merge: K extract-max rounds over the K (R, 128)
-        # slot arrays; removal matches on (value, index) so duplicates of
-        # the extracted value elsewhere survive later rounds. Ties pick the
-        # smaller vocab index, matching lax.top_k.
-        sv = [run_vals[i][...] for i in range(sk)]
-        si = [run_idx[i][...] for i in range(sk)]
+        # Cross-lane top-K merge: K extract-max rounds over the slot arrays
+        # CONCATENATED to one (R, sk*128) value (r4: the original per-slot
+        # rounds did 2*sk cross-lane reductions each — ~51 us/call of
+        # Mosaic relayouts at the flagship shape, over half the WHOLE
+        # kernel; concatenating first needs exactly 2 reductions per round,
+        # measured ~22 us). Removal matches on (value, index) so duplicates
+        # of the extracted value elsewhere survive later rounds; ties pick
+        # the smaller vocab index across ALL slots at once — identical
+        # semantics to the per-slot form (each vocab id occupies exactly
+        # one slot position), matching lax.top_k.
+        Xv = jnp.concatenate([run_vals[i][...] for i in range(sk)], axis=1)
+        Xi = jnp.concatenate([run_idx[i][...] for i in range(sk)], axis=1)
         BIG = jnp.int32(2 ** 30)
         out_v = []
         out_i = []
         for _ in range(K):
-            mx = sv[0].max(axis=1)
-            for i in range(1, sk):
-                mx = jnp.maximum(mx, sv[i].max(axis=1))            # (R,)
-            a = jnp.min(jnp.where(sv[0] == mx[:, None], si[0], BIG), axis=1)
-            for i in range(1, sk):
-                a = jnp.minimum(
-                    a, jnp.min(jnp.where(sv[i] == mx[:, None], si[i], BIG),
-                               axis=1))
-            a = a.astype(jnp.int32)
+            mx = Xv.max(axis=1)                                    # (R,)
+            a = jnp.min(jnp.where(Xv == mx[:, None], Xi, BIG),
+                        axis=1).astype(jnp.int32)
             out_v.append(mx)
             out_i.append(a)
-            for i in range(sk):
-                hit = (sv[i] == mx[:, None]) & (si[i] == a[:, None])
-                sv[i] = jnp.where(hit, _FLOOR, sv[i])
+            Xv = jnp.where((Xv == mx[:, None]) & (Xi == a[:, None]),
+                           _FLOOR, Xv)
         vals_ref[...] = jnp.stack(out_v, axis=1)
         idx_ref[...] = jnp.stack(out_i, axis=1)
         if sk < K:
@@ -254,7 +269,8 @@ def _combine(rvals, ridx, lse, scores, finished, V, pad_id):
 
 @functools.partial(jax.jit,
                    static_argnames=("pad_id", "impl", "tv", "direct",
-                                    "slots", "defer_exact"))
+                                    "slots", "defer_exact",
+                                    "_bench_no_lse", "_bench_no_cascade"))
 def fused_readout_topk(
     t: jnp.ndarray,           # (B*K, E) readout activations (beam-major rows)
     w: jnp.ndarray,           # (E, V) output matrix (compute dtype)
@@ -268,6 +284,8 @@ def fused_readout_topk(
     direct: bool = True,
     slots: int = 0,
     defer_exact: bool = False,
+    _bench_no_lse: bool = False,
+    _bench_no_cascade: bool = False,
 ) -> Tuple[jnp.ndarray, ...]:
     """Top-K next-beam candidates straight from the readout activations.
 
@@ -323,7 +341,8 @@ def fused_readout_topk(
     def call_kernel(depth: int):
         return pl.pallas_call(
             functools.partial(_kernel, V=V, tv=tv, K=K, sk=depth,
-                              direct=direct),
+                              direct=direct, no_lse=_bench_no_lse,
+                              no_cascade=_bench_no_cascade),
             grid=(nv,),
             in_specs=[
                 pl.BlockSpec((R, E), lambda j: (0, 0),
