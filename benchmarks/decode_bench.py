@@ -294,9 +294,9 @@ def main():
             def body(t, carry):
                 acc1, acc2 = carry
                 tok = (tok0 + t) % V
-                xg1 = jnp.take(tables0["xg1"], tok.reshape(-1), axis=0)
-                ty = jnp.take(tables0["ty"], tok.reshape(-1), axis=0)
-                return acc1 + xg1[:, 0] * 1e-9, acc2 + ty[:, 0] * 1e-9
+                gy = jnp.take(tables0["gy"], tok.reshape(-1), axis=0)
+                return (acc1 + gy[:, 0] * 1e-9,
+                        acc2 + gy[:, 3 * H] * 1e-9)
             return jax.lax.fori_loop(
                 0, n, body,
                 (jnp.zeros((B * K,), jnp.float32),
@@ -337,7 +337,7 @@ def main():
     def case_tab_wc_gru2_readout(n):
         c0f = jnp.asarray(rng.randn(B * K, Cdim), jnp.bfloat16)
         qh0 = jnp.asarray(rng.randn(B * K, 3 * H), jnp.float32)
-        ty0 = jnp.asarray(rng.randn(B * K, tables0["ty"].shape[1]),
+        ty0 = jnp.asarray(rng.randn(B * K, m.emb_dim),
                           jnp.float32)
 
         @jax.jit

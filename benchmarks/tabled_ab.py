@@ -79,7 +79,7 @@ def main():
             return jax.lax.fori_loop(0, n, body, (tok0, s, scores, tokens))
         return run
 
-    gather_only = {k: v for k, v in tables.items() if k in ("xg1", "ty")}
+    gather_only = {k: v for k, v in tables.items() if k == "gy"}
     runs = {
         "untabled": (make_run(REPS, None), make_run(2 * REPS, None)),
         "tab_gather": (make_run(REPS, gather_only),

@@ -203,9 +203,8 @@ def test_token_tables_beam_and_greedy_match_untabled(setup):
     from vag_nmt_tpu.models.decoder import decode_tables
 
     tables = decode_tables(params["decoder"])
-    assert tables["xg1"].shape == (m.tgt_vocab_size,
-                                   3 * m.dec_hidden_dim)
-    assert tables["ty"].shape[0] == m.tgt_vocab_size
+    assert tables["gy"].shape[0] == m.tgt_vocab_size
+    assert tables["gy"].shape[1] > 3 * m.dec_hidden_dim
 
     res = beam_search(params, m, state, beam_size=4, max_len=12)
     res_t = beam_search(params, m, state, beam_size=4, max_len=12,

