@@ -59,6 +59,15 @@ class ModelConfig:
     # the numerics oracle), or "pallas" (force the kernel).
     gru_impl: str = "auto"
 
+    # Kernel implementation for the teacher-forced decoder scan (the train
+    # path's GRU1 -> attention -> GRU2 -> readout recurrence): "xla"
+    # (lax.scan; the numerics oracle and CPU path), "pallas" (fused
+    # time-blocked kernel, ops/pallas_dec_scan.py), or "auto" (on TPU,
+    # pallas whenever gradients flow (train=True) or streams are bf16 —
+    # the chip-measured win regions from benchmarks/dec_scan_bench.py; xla
+    # elsewhere; see docs/architecture.md "Fused decoder-scan kernel").
+    dec_scan_impl: str = "auto"
+
     @property
     def ctx_dim(self) -> int:
         return 2 * self.hidden_dim

@@ -335,15 +335,37 @@ def teacher_forced_logits(
                  preferred_element_type=jnp.float32)            # (B, Tt, R)
     ctx_proj = precompute_ctx_proj(params["attn"], ctx)
 
-    def step(s, inp):
-        ty_t, xg_t = inp
-        s_new, t, _ = step_acts_from_xgates(
-            params, ty_t, xg_t, s, ctx, ctx_proj, src_mask)
-        return s_new, t
+    impl = cfg.dec_scan_impl
+    if impl == "auto":
+        # Chip-measured policy (benchmarks/dec_scan_bench.py, v5e): the
+        # fused kernel wins fwd+bwd at EVERY shape/dtype (1.03-1.35x), so
+        # training always takes it; forward-only (eval loss) wins under
+        # bf16 streams (1.0-1.4x) but loses fp32 at long T (0.62x at IKEA
+        # T=Tt=128, where the fp32 ctx tile halves the batch-tile size),
+        # so no-grad fp32 keeps the XLA scan.
+        use = (jax.default_backend() == "tpu"
+               and (train or cfg.compute_dtype == "bfloat16"))
+        impl = "pallas" if use else "xla"
+    if impl == "pallas":
+        # Fused Pallas kernel: weights + the batch tile's ctx/ctx_proj stay
+        # VMEM-resident across all Tt steps instead of re-streaming from HBM
+        # per step (ops/pallas_dec_scan.py; custom VJP, so training too).
+        from vag_nmt_tpu.ops.pallas_dec_scan import pallas_decoder_scan
 
-    xs = (jnp.swapaxes(ty, 0, 1), jnp.swapaxes(xg1, 0, 1))
-    _, t_all = jax.lax.scan(step, s0, xs)                       # (Tt, B, R)
-    t_all = jnp.swapaxes(t_all, 0, 1)                           # (B, Tt, R)
+        t_all = pallas_decoder_scan(params, ty, xg1, s0, ctx, ctx_proj,
+                                    src_mask)
+    elif impl == "xla":
+        def step(s, inp):
+            ty_t, xg_t = inp
+            s_new, t, _ = step_acts_from_xgates(
+                params, ty_t, xg_t, s, ctx, ctx_proj, src_mask)
+            return s_new, t
+
+        xs = (jnp.swapaxes(ty, 0, 1), jnp.swapaxes(xg1, 0, 1))
+        _, t_all = jax.lax.scan(step, s0, xs)                   # (Tt, B, R)
+        t_all = jnp.swapaxes(t_all, 0, 1)                       # (B, Tt, R)
+    else:
+        raise ValueError(f"unknown dec_scan_impl {impl!r}")
 
     if train and rng is not None and cfg.dropout > 0:
         keep = 1.0 - cfg.dropout
