@@ -96,6 +96,15 @@ def main():
     ap.add_argument("--reps", type=int, default=32)
     ap.add_argument("--iters", type=int, default=7)
     ap.add_argument("--dtypes", default="bfloat16,float32")
+    ap.add_argument("--dec-scan", default="auto",
+                    help="dec_scan_impl: auto|xla|pallas, or a comma list "
+                         "(e.g. xla,pallas) for an INTERLEAVED A/B — the "
+                         "legs alternate within each timing iteration so "
+                         "session drift cancels (the defer_ab lesson; "
+                         "sequential runs of this bench have measured the "
+                         "same program 1.8 and 4.6 ms/step minutes apart)")
+    ap.add_argument("--gru", default="auto", choices=("auto", "xla", "pallas"),
+                    help="encoder gru_impl A/B")
     args = ap.parse_args()
 
     try:
@@ -108,45 +117,53 @@ def main():
     from vag_nmt_tpu.train.state import create_train_state
 
     for dt in args.dtypes.split(","):
-        cfg = preset(args.preset).replace(
-            model=dict(compute_dtype=dt),
-            data=dict(batch_size=args.batch),
-        )
+        legs = []  # (dec_scan_label, cfg, run_n, run_2n, t1s, t2s)
         B, T, Tt = args.batch, args.t_src, args.t_tgt
-        batch = stage_batch(cfg, B, T, Tt)
         R = args.reps
-        run_n = make_runner(cfg, batch, R)
-        run_2n = make_runner(cfg, batch, 2 * R)
+        for ds in args.dec_scan.split(","):
+            cfg = preset(args.preset).replace(
+                model=dict(compute_dtype=dt, dec_scan_impl=ds,
+                           gru_impl=args.gru),
+                data=dict(batch_size=args.batch),
+            )
+            batch = stage_batch(cfg, B, T, Tt)
+            legs.append((ds, cfg, make_runner(cfg, batch, R),
+                         make_runner(cfg, batch, 2 * R), [], []))
 
-        def fresh_state():
+        def fresh_state(cfg):
             return jax.device_put(
                 create_train_state(jax.random.key(cfg.train.seed), cfg))
 
-        # warmup/compile both programs
-        run_n(fresh_state())
-        run_2n(fresh_state())
-        t1s, t2s = [], []
+        # warmup/compile every program before any timing
+        for _, cfg, run_n, run_2n, _, _ in legs:
+            run_n(fresh_state(cfg))
+            run_2n(fresh_state(cfg))
+        # interleave the legs within each iteration so link/chip drift
+        # hits all of them equally
         for _ in range(args.iters):
-            st = fresh_state()
-            t0 = time.perf_counter()
-            run_n(st)
-            t1s.append(time.perf_counter() - t0)
-            st = fresh_state()
-            t0 = time.perf_counter()
-            run_2n(st)
-            t2s.append(time.perf_counter() - t0)
-        per_step = (min(t2s) - min(t1s)) / R
-        try:
-            fl = train_step_flops(cfg, B, T, Tt)
-            tfs = fl / per_step / 1e12
-        except Exception:
-            fl, tfs = None, None
-        print(json.dumps({
-            "preset": args.preset, "dtype": dt, "batch": B,
-            "t_src": T, "t_tgt": Tt,
-            "ms_per_step": round(per_step * 1e3, 3),
-            "tflops": None if tfs is None else round(tfs, 2),
-        }), flush=True)
+            for _, cfg, run_n, run_2n, t1s, t2s in legs:
+                st = fresh_state(cfg)
+                t0 = time.perf_counter()
+                run_n(st)
+                t1s.append(time.perf_counter() - t0)
+                st = fresh_state(cfg)
+                t0 = time.perf_counter()
+                run_2n(st)
+                t2s.append(time.perf_counter() - t0)
+        for ds, cfg, _, _, t1s, t2s in legs:
+            per_step = (min(t2s) - min(t1s)) / R
+            try:
+                fl = train_step_flops(cfg, B, T, Tt)
+                tfs = fl / per_step / 1e12
+            except Exception:
+                fl, tfs = None, None
+            print(json.dumps({
+                "preset": args.preset, "dtype": dt, "batch": B,
+                "dec_scan": ds, "gru": args.gru,
+                "t_src": T, "t_tgt": Tt,
+                "ms_per_step": round(per_step * 1e3, 3),
+                "tflops": None if tfs is None else round(tfs, 2),
+            }), flush=True)
 
 
 if __name__ == "__main__":

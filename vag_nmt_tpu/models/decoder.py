@@ -337,13 +337,24 @@ def teacher_forced_logits(
 
     impl = cfg.dec_scan_impl
     if impl == "auto":
-        # Chip-measured policy (benchmarks/dec_scan_bench.py, v5e): the
-        # fused kernel wins fwd+bwd at EVERY shape/dtype (1.03-1.35x), so
-        # training always takes it; forward-only (eval loss) wins under
-        # bf16 streams (1.0-1.4x) but loses fp32 at long T (0.62x at IKEA
-        # T=Tt=128, where the fp32 ctx tile halves the batch-tile size),
-        # so no-grad fp32 keeps the XLA scan.
+        # Chip-measured policy (benchmarks/dec_scan_bench.py +
+        # train_bench.py interleaved A/Bs, v5e): the fused kernel wins
+        # fwd+bwd at every TIME-BLOCKED shape/dtype — kernel-level
+        # 1.03-1.35x, full-train-step 1.27x at the Tt=16 bucket shape —
+        # but the win comes from amortizing the ~3.5 us grid-step cost
+        # over KT unrolled steps, so it needs a real time block: at
+        # Tt=17 (KT degenerates to 1) the full train step measured
+        # 0.66x (3.13 vs 2.08 ms/step, interleaved). Production bucket
+        # widths are all multiples of 4 (core/config.length_buckets), so
+        # the KT>=4 gate never fires there; it protects ad-hoc shapes.
+        # Forward-only (eval loss) wins under bf16 streams (1.0-1.4x)
+        # but loses fp32 at long T (0.62x at IKEA T=Tt=128, where the
+        # fp32 ctx tile halves the batch-tile size), so no-grad fp32
+        # keeps the XLA scan.
+        from vag_nmt_tpu.ops.pallas_gru import _pick_kt
+
         use = (jax.default_backend() == "tpu"
+               and _pick_kt(Tt) >= 4
                and (train or cfg.compute_dtype == "bfloat16"))
         impl = "pallas" if use else "xla"
     if impl == "pallas":
