@@ -30,6 +30,7 @@ Prints ONE JSON line:
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -133,7 +134,11 @@ def main() -> None:
     # but LOSES with the slots-3 watermark kernel in the loop (348 vs 243 ms
     # at 640 steps — the unrolled body's 4 cond+kernel pairs schedule worse
     # than 4 separate iterations; /tmp combo A/B 2026-08-17).
-    cfg = cfg.replace(model=dict(compute_dtype="bfloat16"),
+    # VAG_BENCH_DTYPE=float32 A/Bs the whole pipeline's compute dtype (the
+    # decode-step microbench found the XLA step FASTER under fp32 params at
+    # latency-bound shapes — dec_step_bench.py side finding, round 4).
+    dtype = os.environ.get("VAG_BENCH_DTYPE", "bfloat16")
+    cfg = cfg.replace(model=dict(compute_dtype=dtype),
                       decode=dict(beam_size=5, max_len=64,
                                   decode_batch_size=128),
                       data=dict(batch_size=64))
@@ -251,7 +256,7 @@ def main() -> None:
         "train_steps_for_eos": steps_done,
         "n_sentences": N_SENT,
         "probe": probe,
-        "compute_dtype": "bfloat16",
+        "compute_dtype": dtype,
         "achieved_tflops": round(total_flops / elapsed_med / 1e12, 2),
         "mfu": round(roof["mfu"], 4),
         "mfu_peak_tflops": V5E_PEAK_BF16_FLOPS / 1e12,

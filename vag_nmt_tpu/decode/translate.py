@@ -49,7 +49,8 @@ def _env_fingerprint() -> tuple:
     return tuple(os.environ.get(k, "") for k in (
         "VAG_READOUT_TOPK", "VAG_TOPK_IMPL", "VAG_FRT_SLOTS",
         "VAG_FRT_DEFER", "VAG_FRT_NOCOND", "VAG_GRU_STREAM",
-        "VAG_BEAM_UNROLL", "VAG_BEAM_PRUNE", "VAG_BLOCK_NGRAM"))
+        "VAG_BEAM_UNROLL", "VAG_BEAM_PRUNE", "VAG_BLOCK_NGRAM",
+        "VAG_DEC_STEP"))
 
 
 def _use_tables() -> bool:

@@ -290,12 +290,35 @@ def decode_step_beams_readout(
     (s_new (B,K,H), t (B*K, R) in compute dtype, w_out (R, V), b_out (V,))
     so the vocab projection can run fused with top-k
     (ops/pallas_readout_topk) without materializing (B*K, V) logits.
-    tables: optional per-vocab gate/readout tables (`decode_tables`)."""
+    tables: optional per-vocab gate/readout tables (`decode_tables`).
+
+    With tables active and VAG_DEC_STEP=on, the whole mid-section
+    (GRU1 -> attention -> GRU2 -> readout activations) runs as ONE fused
+    Pallas kernel (ops/pallas_dec_step) with every attention intermediate
+    VMEM-resident instead of materializing the (B, K, T, A) broadcast.
+    Default OFF: a measured NEGATIVE (XLA's batched-MXU attention einsums
+    beat Mosaic's VPU reductions — see use_dec_step_kernel's table); kept
+    as an A/B artifact. Same fused-GEMM dot products, not bit-identical
+    (reassociation); the env is part of decode/translate's program-cache
+    fingerprint."""
     B, K = tok.shape
     H = s.shape[-1]
+    r = params["readout"]
+    if tables is not None and "w_s" in tables:
+        from vag_nmt_tpu.ops.pallas_dec_step import (
+            dec_step_shapes_supported, pallas_decode_step,
+            use_dec_step_kernel)
+
+        G = tables["gy"].shape[-1]
+        if use_dec_step_kernel() and dec_step_shapes_supported(
+                H, params["attn"]["ua"].shape[1], ctx.shape[-1], G - 3 * H):
+            s_new3, t = pallas_decode_step(params, tables, tok, s, ctx,
+                                           ctx_proj, src_mask)
+            return (s_new3, t.astype(ctx.dtype),
+                    _out_matrix(params, cfg),
+                    r["b_out"].astype(jnp.float32))
     s_new, ty, c_flat, tc, _ = _beams_step_core(params, tok, s, ctx,
                                                 ctx_proj, src_mask, tables)
-    r = params["readout"]
     t = _readout_t(params, ty, s_new, c_flat, tc=tc)
     return (s_new.reshape(B, K, H), t.astype(c_flat.dtype),
             _out_matrix(params, cfg), r["b_out"].astype(jnp.float32))
