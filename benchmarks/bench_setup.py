@@ -1,0 +1,92 @@
+"""Shared setup for chip benchmarks that need the bench-protocol checkpoint.
+
+`bench.py` (repo root) defines the measurement protocol: a deterministic
+synthetic Multi30k-shaped corpus plus a brief on-chip training run to a
+realistic decode-termination regime (mean hyp length 6-24; a random init
+either never terminates or terminates instantly — neither resembles
+production decoding). Benchmarks that A/B decode knobs on the same
+protocol (decode_knob_sweep, serve_latency_bench) import this instead of
+re-stating the recipe. RNG is fixed, so every caller gets the SAME corpus
+and checkpoint as bench.py's headline run.
+
+bench.py itself stays self-contained — it is the driver's honesty anchor
+and must not depend on benchmarks/ internals.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def protocol_setup():
+    """Returns (cfg, params, examples, vocab, img_table, steps_done).
+
+    cfg is the headline bench config (m30k preset, beam 5, bf16,
+    decode_batch_size 128); params are trained on-chip per the bench
+    protocol (same seeds, same corpus — identical checkpoint bytes)."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/vag_nmt_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
+    from bench import N_SENT, TRAIN_CHUNK, TRAIN_STEPS_MAX
+    from vag_nmt_tpu.core.config import preset
+    from vag_nmt_tpu.data.batching import BucketBatcher, Example
+    from vag_nmt_tpu.data.vocab import Vocab
+    from vag_nmt_tpu.decode.translate import build_img_table, translate_corpus
+    from vag_nmt_tpu.train.state import create_train_state
+    from vag_nmt_tpu.train.step import make_train_step
+
+    cfg = preset("m30k_ende_vag")
+    cfg = cfg.replace(model=dict(compute_dtype="bfloat16"),
+                      decode=dict(beam_size=5, max_len=64,
+                                  decode_batch_size=128),
+                      data=dict(batch_size=64))
+    m = cfg.model
+    rng = np.random.RandomState(0)
+
+    def make_examples(n, lo, hi, with_tgt):
+        out = []
+        for i in range(n):
+            L = int(np.clip(rng.normal(13, 4), lo, hi))
+            src = list(rng.randint(4, m.src_vocab_size, L))
+            out.append(Example(
+                src=src, tgt=list(src) if with_tgt else None,
+                img=rng.randn(m.img_feat_dim).astype(np.float32), index=i))
+        return out
+
+    examples = make_examples(N_SENT, 4, 32, with_tgt=False)
+    train_exs = make_examples(2048, 13, 15, with_tgt=True)
+    vocab = Vocab(["<pad>", "<unk>", "<sos>", "<eos>"]
+                  + [f"t{i}" for i in range(m.tgt_vocab_size - 4)])
+    img_table = build_img_table(examples, m.img_feat_dim)
+
+    state = create_train_state(jax.random.key(0), cfg)
+    batcher = BucketBatcher(train_exs, cfg.data.batch_size,
+                            cfg.data.length_buckets, include_image=True,
+                            img_dim=m.img_feat_dim)
+    step_fn, _ = make_train_step(cfg)
+    step_rng = jax.random.key(1)
+    steps_done, epoch = 0, 0
+    while steps_done < TRAIN_STEPS_MAX:
+        todo = TRAIN_CHUNK
+        while todo > 0:
+            for batch in batcher.epoch(epoch):
+                state, _ = step_fn(state, batch, step_rng)
+                todo -= 1
+                steps_done += 1
+                if todo <= 0:
+                    break
+            epoch += 1
+        hyps, _ = translate_corpus(state.params, cfg, examples, vocab,
+                                   img_table=img_table)
+        ml = float(np.mean([len(h.split()) + 1 for h in hyps]))
+        if 6.0 <= ml <= 24.0:
+            break
+    print(f"# protocol checkpoint: {steps_done} steps, "
+          f"mean hyp len {ml:.2f}", flush=True)
+    return cfg, state.params, examples, vocab, img_table, steps_done

@@ -82,9 +82,14 @@ def deferred_exactness_active(K: int) -> bool:
     fixed, the valid interleaved full-beam-search A/B
     (benchmarks/defer_ab.py, 25 iters, 1xv5e): deferred 249.5 vs per-step
     cond 271.0 us/step — removing the cond's fixed cost wins ~8%, with
-    live-row violations at the analytic ~2e-6/row/step rate. DEFAULT is
-    therefore ON (on TPU, when the resolved slot depth < K);
-    VAG_FRT_DEFER=0 restores the per-step cond for A/B.
+    live-row violations at the analytic ~2e-6/row/step rate. ON (on TPU)
+    whenever the resolved slot depth < K; VAG_FRT_DEFER=0 restores the
+    per-step cond for A/B. NOTE (r4): the default slot depth is now K —
+    the merge restructure made full-depth cascades CHEAPER end-to-end
+    than slots-3 + this recovery machinery (see fused_readout_topk's
+    slots note), so by default no recovery path is live at all; this
+    function (and the whole watermark apparatus) governs the
+    VAG_FRT_SLOTS<K regime.
 
     True iff the fused-kernel path would be active under the same
     env/backend resolution `models.model.decode_step_topk` uses, the
@@ -101,7 +106,7 @@ def deferred_exactness_active(K: int) -> bool:
     if impl != "fused":
         return False
     env_s = os.environ.get("VAG_FRT_SLOTS", "")
-    slots = int(env_s) if env_s else (3 if K > 3 else K)
+    slots = int(env_s) if env_s else K
     return min(max(1, slots), K) < K
 
 
@@ -298,11 +303,18 @@ def fused_readout_topk(
     overrides), "pallas" (force kernel), "xla" (materialize logits and call
     beam_topk's xla path — the numerics oracle).
 
-    slots: per-lane cascade depth (0 = auto: 3 when K > 3, else K; env
-    VAG_FRT_SLOTS overrides). Depth < K cuts the dominant VPU cost ~40% and
-    stays EXACT via watermark detection + lax.cond fallback to the
+    slots: per-lane cascade depth (0 = auto: K, unconditionally exact; env
+    VAG_FRT_SLOTS overrides). Depth < K cuts the per-element cascade cost
+    and stays EXACT via watermark detection + lax.cond fallback to the
     full-depth kernel (see _kernel docstring) — results match the depth-K
-    kernel bit for bit on every input.
+    kernel bit for bit on every input. History: slots-3 + deferred
+    recovery was the r3 default, chosen when the cross-lane merge made
+    cascade rounds expensive; after the r4 merge restructure the full
+    corpus decode measures FASTER at depth K (benchmarks/
+    decode_knob_sweep.py, interleaved, K=5: slots-5 beat slots-3 by ~6%
+    at every chunk size — 25.2k vs 23.4k sent/s at chunk 64 — because
+    depth K also removes the defer/rerun machinery from the loop), so
+    auto is now K.
 
     defer_exact: skip the in-step lax.cond fallback and instead return a
     THIRD output — a scalar bool that is True iff the watermark flagged any
@@ -334,7 +346,7 @@ def fused_readout_topk(
 
     if slots <= 0:
         env_s = os.environ.get("VAG_FRT_SLOTS", "")
-        slots = int(env_s) if env_s else (3 if K > 3 else K)
+        slots = int(env_s) if env_s else K
     sk = min(max(1, slots), K)
     nv = -(-V // tv)
 
