@@ -48,6 +48,23 @@ def test_translator_with_images(toy_run):
     assert len(hyps) == 2
 
 
+def test_translator_warmup(toy_run):
+    """warmup() drives one dummy request per source-length bucket (the
+    compile-shape key) and a live translate afterward matches an unwarmed
+    Translator's output — warmup populates caches, never perturbs state."""
+    from vag_nmt_tpu.decode.serve import Translator
+
+    data_dir, out_dir = toy_run
+    tr = Translator.from_run(out_dir, data_dir=data_dir)
+    lines = ["w1 w2 w3", "w5 w4 w3 w2 w1"]
+    baseline = tr.translate(lines)
+
+    tr2 = Translator.from_run(out_dir, data_dir=data_dir)
+    n = tr2.warmup()
+    assert n == len(tr2.cfg.data.length_buckets)
+    assert tr2.translate(lines) == baseline
+
+
 def test_translate_text_cli(toy_run, tmp_path):
     from vag_nmt_tpu.cli import main
 

@@ -113,6 +113,37 @@ class Translator:
                           lower=lower, tokenizer=tokenizer,
                           truecaser=truecaser)
 
+    def warmup(self, batch_size: Optional[int] = None,
+               beam_size: Optional[int] = None) -> int:
+        """Pre-compile the fused decode program for every source-length
+        bucket shape at the serving batch size. Returns the number of
+        bucket shapes driven.
+
+        The fused program is compiled per (chunk rows, bucketed t_src)
+        shape, so without warmup the FIRST live request whose longest
+        source lands in a new bucket pays that bucket's compile (~2 s
+        from the persistent cache, tens of seconds cold) — measured as a
+        ~2 s p99 against a ~27 ms p50 at batch 1
+        (`benchmarks/serve_latency_bench.py`). Production serving calls
+        this once at startup; requests then only ever hit compiled
+        programs. Token ids are irrelevant to the compile key, so dummy
+        <unk> rows suffice; one example per bucket is enough because
+        chunk shape depends on batch_size, not on the request count."""
+        from vag_nmt_tpu.data.batching import Example
+        from vag_nmt_tpu.decode.translate import translate_corpus
+
+        m = self.cfg.model
+        img = (np.zeros((m.img_feat_dim,), np.float32)
+               if m.multimodal else None)
+        n = 0
+        for b in self.cfg.data.length_buckets:
+            ex = Example(src=[UNK_ID] * min(b, self.cfg.data.max_src_len),
+                         img=img, index=0)
+            translate_corpus(self.params, self.cfg, [ex], self.tgt_vocab,
+                             beam_size=beam_size, batch_size=batch_size)
+            n += 1
+        return n
+
     def _encode_line(self, line: str) -> List[int]:
         if self._moses_tok is not None:
             toks = self._moses_tok.tokenize(line)
