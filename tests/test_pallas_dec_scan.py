@@ -156,3 +156,34 @@ def test_full_loss_path_with_dropout_runs():
     assert np.isfinite(float(loss))
     leaves = jax.tree.leaves(g)
     assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+
+
+def test_odd_batch_tail_rows_match_oracle():
+    """Regression (round-4 review): B > 8 not a multiple of 8 (e.g. 12).
+
+    _pick_tb's old fallback returned a non-dividing tile of 8, so the grid
+    (nb = B // 8 = 1) never computed rows 8..11 — their logits AND
+    gradients were uninitialized garbage, silently. The wrapper now pads
+    the batch to a multiple of 8 with edge rows (sliced off after), and
+    the fallback is the always-legal full-B block."""
+    cfgs, params, tgt_in, s0, ctx, mask = _setup(B=12)
+    lx = _logits(cfgs["xla"], params, tgt_in, s0, ctx, mask)
+    lp = _logits(cfgs["pallas"], params, tgt_in, s0, ctx, mask)
+    # Per-row assert so a tail-row regression names the row it broke.
+    for b in range(12):
+        np.testing.assert_allclose(
+            np.asarray(lp[b]), np.asarray(lx[b]), rtol=1e-5, atol=1e-5,
+            err_msg=f"row {b} diverged (tail-row coverage regression)")
+
+    def loss(cfg):
+        def f(params, s0, ctx):
+            lg = _logits(cfg, params, tgt_in, s0, ctx, mask)
+            return (jnp.tanh(lg)).sum()
+        return f
+
+    gx = jax.grad(loss(cfgs["xla"]), argnums=(1, 2))(params, s0, ctx)
+    gp = jax.grad(loss(cfgs["pallas"]), argnums=(1, 2))(params, s0, ctx)
+    for ax, ap in zip(jax.tree.leaves(gx), jax.tree.leaves(gp)):
+        ax, ap = np.asarray(ax), np.asarray(ap)
+        scale = max(np.abs(ax).max(), 1e-8)
+        np.testing.assert_allclose(ap, ax, rtol=0, atol=2e-5 * scale)

@@ -170,3 +170,27 @@ def test_beam_architectures_bit_identical_with_kernel(monkeypatch):
                                       np.asarray(ref.lengths))
         np.testing.assert_allclose(np.asarray(got.scores),
                                    np.asarray(ref.scores), atol=1e-6)
+
+
+def test_odd_batch_tail_rows_match_xla(monkeypatch):
+    """Regression (round-4 review): B > 8 not a multiple of 8 (e.g. 12).
+
+    _pick_tb's old fallback returned a non-dividing tile of 8, so the last
+    B % 8 sentences' s_new/t outputs were never written — uninitialized
+    memory fed the readout->top-k kernel silently. _call now pads the rows
+    to a multiple of 8 (edge rows, sliced off after)."""
+    cfg, params, tables, tok, s, ctx, ctxp, mask = _setup(B=12)
+    sk, tk, _, _ = _run(cfg, params, tables, tok, s, ctx, ctxp, mask,
+                        "on", monkeypatch)
+    sx, tx, _, _ = _run(cfg, params, tables, tok, s, ctx, ctxp, mask,
+                        "off", monkeypatch)
+    sk, sx = np.asarray(sk), np.asarray(sx)
+    tk = np.asarray(tk).reshape(12, -1)
+    tx = np.asarray(tx).reshape(12, -1)
+    for b in range(12):
+        np.testing.assert_allclose(
+            sk[b], sx[b], rtol=1e-5, atol=1e-5,
+            err_msg=f"s_new row {b} diverged (tail-row coverage regression)")
+        np.testing.assert_allclose(
+            tk[b], tx[b], rtol=1e-5, atol=1e-5,
+            err_msg=f"t row {b} diverged (tail-row coverage regression)")

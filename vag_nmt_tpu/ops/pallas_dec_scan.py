@@ -130,7 +130,14 @@ def _pick_tb(B: int, T: int, Tt: int, H: int, A: int, C: int, R: int,
     for tb in (128, 64, 32, 16, 8):
         if B % tb == 0 and est(tb) <= budget:
             return tb
-    return B if B < 8 else 8
+    # Fallback MUST divide B: nb = B // tb silently drops the last
+    # B % tb rows otherwise (uninitialized outputs AND gradients — caught
+    # by review, regression-tested at B=12). The full-B block is always
+    # Mosaic-legal (block dim == array dim); pallas_decoder_scan pads
+    # B > 8 to a multiple of 8 first, so this triggers only at B < 8 or
+    # when no dividing tile fits the budget (overflow is then a loud
+    # Mosaic compile error, not silent corruption).
+    return B
 
 
 def _attend(ctxp, ctx, mask, q, va):
@@ -584,6 +591,34 @@ def pallas_decoder_scan(
     fp32); gate/attention math and the carried state are always fp32."""
     import os
 
+    mesh = _SHARD_MESH.get()
+    from vag_nmt_tpu.parallel.sharding import DATA_AXIS
+
+    sharded = (mesh is not None and DATA_AXIS in mesh.shape
+               and mesh.shape[DATA_AXIS] > 1)
+    n_data = mesh.shape[DATA_AXIS] if sharded else 1
+
+    # Batch tiles inside the kernel must divide the (per-shard) batch
+    # (_pick_tb): pad B so each shard's local rows are a multiple of 8
+    # (edge-replicated rows — finite math, identical to a real row; padded
+    # outputs are sliced off, so their cotangents are zero and gradients
+    # stay exact). Without this, an odd local batch falls back to one
+    # full-B VMEM block (or, before the review fix, silently dropped the
+    # tail rows).
+    B = ty.shape[0]
+    if sharded and B % n_data == 0:
+        local = B // n_data
+        pad = ((-local) % 8) * n_data if local > 8 else 0
+    else:
+        pad = (-B) % 8 if B > 8 else 0
+    if pad:
+        def edge(x):
+            widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+            return jnp.pad(x, widths, mode="edge")
+
+        ty, xg1, s0 = edge(ty), edge(xg1), edge(s0)
+        ctx, ctx_proj, src_mask = edge(ctx), edge(ctx_proj), edge(src_mask)
+
     r, at = params["readout"], params["attn"]
     g1, g2 = params["gru1"], params["gru2"]
     cdt = ctx.dtype
@@ -606,12 +641,9 @@ def pallas_decoder_scan(
             g2["uh"].astype(stream), g2["bh"].astype(f32).reshape(1, -1),
             r["ws"].astype(stream), r["wc"].astype(stream))
 
-    mesh = _SHARD_MESH.get()
-    from vag_nmt_tpu.parallel.sharding import DATA_AXIS
-
-    if (mesh is not None and DATA_AXIS in mesh.shape
-            and mesh.shape[DATA_AXIS] > 1):
+    if sharded:
         t_t = _sharded_scan(mesh, args)
     else:
         t_t = _scan(*args)
-    return jnp.swapaxes(t_t, 0, 1)
+    t_all = jnp.swapaxes(t_t, 0, 1)
+    return t_all[:B] if pad else t_all

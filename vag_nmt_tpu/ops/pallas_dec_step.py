@@ -178,7 +178,14 @@ def _pick_tb(B: int, K: int, T: int, C: int, A: int, H: int, R: int,
     for tb in (128, 64, 32, 16, 8):
         if B % tb == 0 and est(tb) <= budget:
             return tb
-    return B if B < 8 else 8
+    # Fallback MUST divide B: a non-dividing tile makes the grid (B // tb)
+    # silently skip the last B % tb rows (their outputs stay uninitialized
+    # — caught by review, regression-tested at B=12). The full-B tile is
+    # always Mosaic-legal (block dim == full array dim); _call pads B > 8
+    # to a multiple of 8 first, so this only triggers at B < 8 or when no
+    # dividing tile fits the budget (where overflow is a loud compile
+    # error, not corruption).
+    return B
 
 
 def pallas_decode_step(
@@ -236,6 +243,20 @@ def pallas_decode_step(
 
 def _call(params, tables, gy, s, ctx, ctxpb, mask, *, K, H, A, R):
     B = s.shape[0]
+    # Batch tiles must divide B (see _pick_tb). B > 8 that is not a
+    # multiple of 8 (e.g. an odd decode_batch_size, or a mesh shard's
+    # local rows) is padded up with replicated edge rows — finite math,
+    # outputs sliced back — so the kernel still gets an sublane-aligned
+    # tile instead of falling back to one full-B block.
+    pad = (-B) % 8 if B > 8 else 0
+    if pad:
+        def edge(x):
+            widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+            return jnp.pad(x, widths, mode="edge")
+
+        s_new, t = _call(params, tables, edge(gy), edge(s), edge(ctx),
+                         edge(ctxpb), edge(mask), K=K, H=H, A=A, R=R)
+        return s_new[:B], t[:B]
     T, C = ctx.shape[1], ctx.shape[2]
     G = gy.shape[-1]
     g1, g2, r = params["gru1"], params["gru2"], params["readout"]
