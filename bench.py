@@ -52,10 +52,12 @@ def link_probe() -> dict:
       fetch latency floor on the tunneled chip; ~30 ms observed r1-r3).
     - h2d_mb_s / d2h_mb_s: 8 MiB transfer bandwidth each way (the corpus
       upload and result fetch ride this; ~13 MB/s observed on the tunnel).
-    - kernel_ms: one fixed jitted (1024,1024)x(1024,1024) bf16 matmul,
-      executed (not compiled) — pure device time, so a drifted kernel_ms
-      means the CHIP (or XLA version) changed, while drifted rtt/bandwidth
-      with stable kernel_ms means the TUNNEL changed.
+    - kernel_ms: one fixed 2048x2048 bf16 matmul's device time, measured
+      as the difference of two jitted matmul CHAINS (3R vs R reps, so the
+      per-dispatch tunnel RTT cancels exactly — see the comment at the
+      measurement). ~17.2 GFLOP per kernel. Pure device time: a drifted
+      kernel_ms means the CHIP (or XLA version) changed, while drifted
+      rtt/bandwidth with stable kernel_ms means the TUNNEL changed.
     """
     import jax
     import jax.numpy as jnp

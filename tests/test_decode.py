@@ -658,3 +658,33 @@ def test_block_ngram_env_override(setup, monkeypatch):
                           block_ngram=0)
     np.testing.assert_array_equal(np.asarray(via_off.tokens),
                                   np.asarray(ref_off.tokens))
+
+
+def test_block_ngram_greedy_outputs_have_no_repeats(setup):
+    """Greedy (beam_size=1) honors block_ngram (review finding r4: the knob
+    was silently ignored on the greedy path — exactly the repetition-prone
+    configuration it exists to cure). Same property as the beam test: no
+    output may contain a repeated n-gram, and the unblocked decode must
+    show repeats somewhere or the property is vacuous."""
+    params, m, state = setup
+    n = 2
+    t0, l0 = greedy_decode(params, m, state, max_len=24, block_ngram=0)
+    t1, l1 = greedy_decode(params, m, state, max_len=24, block_ngram=n)
+    t0, l0 = np.asarray(t0), np.asarray(l0)
+    t1, l1 = np.asarray(t1), np.asarray(l1)
+    base_reps = sum(_ngram_repeats(t0[b], l0[b], n)
+                    for b in range(t0.shape[0]))
+    assert base_reps > 0, "vacuous: unblocked greedy produced no repeats"
+    for b in range(t1.shape[0]):
+        assert _ngram_repeats(t1[b], l1[b], n) == 0, b
+
+
+def test_block_ngram_greedy_noop_when_disabled(setup):
+    """block_ngram <= 1 must leave greedy outputs bit-identical (the ban
+    machinery must not perturb the no-blocking path)."""
+    params, m, state = setup
+    t0, l0 = greedy_decode(params, m, state, max_len=16)
+    t1, l1 = greedy_decode(params, m, state, max_len=16, block_ngram=0)
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+    np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
+

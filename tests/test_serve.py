@@ -128,3 +128,55 @@ def test_translator_honors_preprocess_manifest(tmp_path):
     out = tr.translate(["The man walks."], display=True)
     assert len(out) == 1 and isinstance(out[0], str)
     assert "@@" not in out[0]
+
+
+def test_translate_chunked_matches_bulk_and_hits_warmed_shapes(toy_run):
+    """Requests longer than batch_size decode in fixed batch_size-line
+    chunks (review finding r4: the old whole-request program's shape grew
+    with the request, so warmup's "only compiled programs" contract was
+    false for any request longer than a batch). Outputs must equal the
+    bulk single-dispatch form, and every program invoked after warmup
+    must carry the warmed (n_super=1, S=1) shape."""
+    from vag_nmt_tpu.decode import translate as tr_mod
+    from vag_nmt_tpu.decode.serve import Translator
+
+    data_dir, out_dir = toy_run
+    tr = Translator.from_run(out_dir, data_dir=data_dir)
+    bs = 4
+    lines = [f"w1 w2 w{1 + i % 5}" for i in range(11)]  # 11 > 2 full chunks
+
+    bulk = tr.translate(lines, bulk=True, batch_size=bs)
+    chunked = tr.translate(lines, batch_size=bs)
+    assert chunked == bulk
+    assert len(chunked) == len(lines)
+
+    # shape contract: warm, then capture every fused-program input shape
+    tr.warmup(batch_size=bs)
+    seen = []
+    orig = tr_mod.make_fused_corpus_fn.__wrapped__
+
+    def spy(cfg, beam_size, max_len, multimodal, mesh=None, nbest=False,
+            packed_spec=None, use_tables=False, two_phase=False,
+            streaming=False, env_key=()):
+        fn = orig(cfg, beam_size, max_len, multimodal, mesh, nbest,
+                  packed_spec, use_tables, two_phase, streaming, env_key)
+
+        def wrapped(params, *args):
+            if packed_spec is not None:
+                src = dict((k, shape) for k, _, shape in packed_spec)["src"]
+                seen.append(src)              # (ns, S, B, t_src)
+            return fn(params, *args)
+
+        return wrapped
+
+    old = tr_mod.make_fused_corpus_fn
+    tr_mod.make_fused_corpus_fn = spy
+    try:
+        out = tr.translate(lines, batch_size=bs)
+    finally:
+        tr_mod.make_fused_corpus_fn = old
+    assert out == bulk
+    assert seen, "spy never engaged — transport path changed?"
+    for shape in seen:
+        assert shape[0] == 1 and shape[1] == 1, shape  # (ns, S, B, t_src)
+        assert shape[2] == bs, shape

@@ -269,7 +269,9 @@ def cmd_translate_text(args) -> None:
         import numpy as np
 
         images = np.load(args.features)
-    hyps = tr.translate(lines, images=images, beam_size=args.beam)
+    # one-shot offline tool: the whole-request single-dispatch program is
+    # fastest here (no warmed server to protect from fresh compiles)
+    hyps = tr.translate(lines, images=images, beam_size=args.beam, bulk=True)
     out = open(args.output, "w", encoding="utf-8") if args.output else sys.stdout
     for h in hyps:
         out.write(h + "\n")

@@ -39,6 +39,44 @@ class BeamResult(NamedTuple):
     best_lengths: jnp.ndarray  # (B,)
 
 
+def ngram_ban(tokens, t_col, n: int, V: int):
+    """Per-step no-repeat n-gram ban list (fairseq/Paulus-2017 semantics).
+
+    tokens: (B, K, L) token buffer (K=1 for greedy); t_col: scalar or (B, 1)
+    int32 current decode position(s); n: the n-gram order (> 1); V: vocab
+    size, used as the "no ban" sentinel (scatters of V are dropped).
+    Returns (B, K, L) int32 banned token ids — each entry is the token that
+    would complete an n-gram already present in that beam's own hypothesis,
+    or the sentinel V. The (n-1)-token suffix ending at the row's current
+    position is compared against every fully-past window (one shifted
+    equality per suffix position, vectorized over (B, K, L)); each matching
+    window's NEXT token is banned. Shared by the beam bodies and
+    greedy_decode (review finding r4: greedy silently ignored the knob)."""
+    nm1 = n - 1
+    B, K, L = tokens.shape
+    t_b = jnp.broadcast_to(jnp.asarray(t_col, jnp.int32)
+                           .reshape(-1, 1), (B, 1))
+    # -1 tail padding never equals a real token id, so windows
+    # reaching past L cannot match.
+    padded = jnp.concatenate(
+        [tokens, jnp.full((B, K, nm1), -1, tokens.dtype)], axis=-1)
+    match = jnp.ones((B, K, L), bool)
+    for j in range(nm1):
+        # suffix token at absolute position t - (n-1) + j
+        idx = jnp.clip(t_b + (j - nm1), 0, L - 1)      # (B, 1)
+        last_j = jnp.take_along_axis(
+            tokens, jnp.broadcast_to(idx[:, :, None], (B, K, 1)),
+            axis=2)[..., 0]                            # (B, K)
+        match = match & (padded[:, :, j:j + L]
+                         == last_j[:, :, None])
+    # window [i, i+n-1] must lie fully in the decoded past
+    valid = (jnp.arange(L, dtype=jnp.int32)[None, :]
+             <= t_b - n)[:, None, :]                   # (B, 1, L)
+    return jnp.where(match & valid,
+                     padded[:, :, nm1:nm1 + L].astype(jnp.int32),
+                     V)
+
+
 def _make_body_1(params, cfg, state: DecodeState, tables, mode: str,
                  max_len: int, eos_top: bool = False, row_cap=None,
                  prune_alpha=None, block_ngram: int = 0):
@@ -96,12 +134,11 @@ def _make_body_1(params, cfg, state: DecodeState, tables, mode: str,
     a SEMANTIC knob, outputs change by design): a candidate token is
     banned when appending it would complete an n-gram already present in
     that beam's own hypothesis. Computed per step from the token buffer
-    itself — the (n-1)-token suffix ending at the row's current position
-    is compared against every fully-past window (one shifted equality per
-    suffix position, vectorized over (B, K, L)), and each matching
-    window's NEXT token becomes a banned id. The ban list (sentinel V =
-    no ban, dropped by scatter) rides to decode_step_topk, which forces
-    the unfused readout path and scatters -inf into those logits. Live
+    itself by `ngram_ban` above. The ban list (sentinel V = no ban,
+    dropped by scatter) rides to decode_step_topk — into the streaming
+    readout->top-k kernel as a dense vocab mask on the fused path (r4;
+    blocking previously forced the whole unfused pipeline), or as an
+    -inf logits scatter on the unfused path. Live
     rows only by construction: finished rows' candidates never come from
     logits (beam_topk rides them on <pad>), and a live row's filled
     prefix never contains <pad>/<eos>, so specials are never banned."""
@@ -112,30 +149,7 @@ def _make_body_1(params, cfg, state: DecodeState, tables, mode: str,
         t_col = t if jnp.ndim(t) == 0 else t[:, None]       # (B,1) when vec
         ban = None
         if block_ngram > 0:
-            n = block_ngram
-            nm1 = n - 1
-            B, K, L = tokens.shape
-            t_b = jnp.broadcast_to(jnp.asarray(t_col, jnp.int32)
-                                   .reshape(-1, 1), (B, 1))
-            # -1 tail padding never equals a real token id, so windows
-            # reaching past L cannot match.
-            padded = jnp.concatenate(
-                [tokens, jnp.full((B, K, nm1), -1, tokens.dtype)], axis=-1)
-            match = jnp.ones((B, K, L), bool)
-            for j in range(nm1):
-                # suffix token at absolute position t - (n-1) + j
-                idx = jnp.clip(t_b + (j - nm1), 0, L - 1)      # (B, 1)
-                last_j = jnp.take_along_axis(
-                    tokens, jnp.broadcast_to(idx[:, :, None], (B, K, 1)),
-                    axis=2)[..., 0]                            # (B, K)
-                match = match & (padded[:, :, j:j + L]
-                                 == last_j[:, :, None])
-            # window [i, i+n-1] must lie fully in the decoded past
-            valid = (jnp.arange(L, dtype=jnp.int32)[None, :]
-                     <= t_b - n)[:, None, :]                   # (B, 1, L)
-            ban = jnp.where(match & valid,
-                            padded[:, :, nm1:nm1 + L].astype(jnp.int32),
-                            V)
+            ban = ngram_ban(tokens, t_col, block_ngram, V)
         # Steps past max_len exist only inside a partially-finished
         # unroll block; freezing every row there makes them exact
         # no-ops, so scores/lengths of never-finishing rows match the

@@ -26,12 +26,20 @@ def greedy_decode(
     max_len: int,
     tables=None,
     row_cap=None,
+    block_ngram: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (tokens (B, max_len) int32 padded with PAD, lengths (B,) incl EOS).
     tables: optional per-vocab gate/readout tables (decoder.decode_tables).
     row_cap: optional (B,) int32 per-row step cap (source-relative length
-    limit, core.config DecodeConfig.max_len_factor)."""
+    limit, core.config DecodeConfig.max_len_factor).
+    block_ngram: no-repeat n-gram blocking order (DecodeConfig.block_ngram;
+    n <= 1 disables). Same fairseq semantics as the beam paths
+    (decode/beam.ngram_ban at K=1): a token whose emission would complete
+    an n-gram already in the row's own hypothesis gets -inf logits before
+    the argmax. Review finding r4: with beam_size=1 the knob was silently
+    ignored — exactly the repetition-prone configuration it exists for."""
     B = state.s0.shape[0]
+    V = cfg.tgt_vocab_size
 
     def cond(carry):
         t, finished = carry[0], carry[4]
@@ -44,7 +52,15 @@ def greedy_decode(
         # K=1 beam axis; encoder state stays per-sentence
         s_new, logits = decode_step(params, cfg, tok[:, None], s, state,
                                     tables)
-        nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+        lg = logits[:, 0]
+        if block_ngram > 1:
+            from vag_nmt_tpu.decode.beam import ngram_ban
+
+            ban = ngram_ban(tokens[:, None, :], t, block_ngram, V)[:, 0]
+            rows = jnp.broadcast_to(jnp.arange(B)[:, None], ban.shape)
+            # sentinel V is out of range -> dropped by the scatter
+            lg = lg.at[rows, ban].set(-jnp.inf, mode="drop")
+        nxt = jnp.argmax(lg, axis=-1).astype(jnp.int32)
         nxt = jnp.where(finished, PAD_ID, nxt)
         tokens = tokens.at[:, t].set(nxt)
         now_finished = finished | (nxt == EOS_ID)

@@ -113,22 +113,34 @@ class Translator:
                           lower=lower, tokenizer=tokenizer,
                           truecaser=truecaser)
 
+    def _batch_size(self, batch_size: Optional[int]) -> int:
+        """The serving chunk size — one resolution shared by warmup() and
+        translate() so warmed shapes and request shapes agree."""
+        return (batch_size if batch_size is not None
+                else self.cfg.decode.decode_batch_size)
+
     def warmup(self, batch_size: Optional[int] = None,
                beam_size: Optional[int] = None) -> int:
         """Pre-compile the fused decode program for every source-length
         bucket shape at the serving batch size. Returns the number of
         bucket shapes driven.
 
-        The fused program is compiled per (chunk rows, bucketed t_src)
-        shape, so without warmup the FIRST live request whose longest
-        source lands in a new bucket pays that bucket's compile (~2 s
-        from the persistent cache, tens of seconds cold) — measured as a
-        ~2 s p99 against a ~27 ms p50 at batch 1
-        (`benchmarks/serve_latency_bench.py`). Production serving calls
-        this once at startup; requests then only ever hit compiled
-        programs. Token ids are irrelevant to the compile key, so dummy
-        <unk> rows suffice; one example per bucket is enough because
-        chunk shape depends on batch_size, not on the request count."""
+        The fused program is compiled per input shape — (n_super,
+        super_chunks, chunk rows, bucketed t_src) — so without warmup the
+        FIRST live request whose longest source lands in a new bucket pays
+        that bucket's compile (~2 s from the persistent cache, tens of
+        seconds cold) — measured as a ~2 s p99 against a ~27 ms p50 at
+        batch 1 (`benchmarks/serve_latency_bench.py`). Production serving
+        calls this once at startup; requests then only ever hit compiled
+        programs — translate() guarantees this by decoding requests in
+        chunks of at most `batch_size` lines, so every live shape is
+        (1, 1, batch_size, bucket), exactly the family driven here
+        (review finding r4: the old single-dispatch path's (n_super, S)
+        grew with the request size, so any request longer than batch_size
+        recompiled at request time despite warmup). Token ids are
+        irrelevant to the compile key, so dummy <unk> rows suffice; one
+        example per bucket is enough because the chunk shape depends on
+        batch_size, not on the request count."""
         from vag_nmt_tpu.data.batching import Example
         from vag_nmt_tpu.decode.translate import translate_corpus
 
@@ -140,7 +152,8 @@ class Translator:
             ex = Example(src=[UNK_ID] * min(b, self.cfg.data.max_src_len),
                          img=img, index=0)
             translate_corpus(self.params, self.cfg, [ex], self.tgt_vocab,
-                             beam_size=beam_size, batch_size=batch_size)
+                             beam_size=beam_size,
+                             batch_size=self._batch_size(batch_size))
             n += 1
         return n
 
@@ -165,10 +178,23 @@ class Translator:
         images: Optional[np.ndarray] = None,   # (N, img_feat_dim) pool5 rows
         beam_size: Optional[int] = None,
         display: bool = False,
+        batch_size: Optional[int] = None,
+        bulk: bool = False,
     ) -> List[str]:
         """Returns tokenized hypothesis lines (the scoring convention).
         display=True additionally detruecases sentence-initial casing and
-        Moses-detokenizes for human-facing output."""
+        Moses-detokenizes for human-facing output.
+
+        Requests are decoded in chunks of at most `batch_size` lines
+        (default cfg.decode.decode_batch_size — the same resolution
+        warmup() uses), so a warmed Translator only ever runs
+        already-compiled programs regardless of request size; per-row
+        numerics are batch-invariant, so outputs are identical to the
+        single-dispatch form (tested). bulk=True restores the whole-request
+        single-dispatch program — fastest for large offline jobs (one
+        dispatch per request instead of one per chunk: each dispatch costs
+        ~30 ms on a tunneled chip, ~tens of us locally) but compiles a new
+        program for every unseen request shape."""
         from vag_nmt_tpu.data.batching import Example
         from vag_nmt_tpu.decode.translate import translate_corpus
 
@@ -192,8 +218,21 @@ class Translator:
                        else np.zeros((m.img_feat_dim,), np.float32))
             ids = self._encode_line(ln) or [UNK_ID]  # <unk> for empty input
             exs.append(Example(src=ids, img=img, index=i))
-        hyps, _ = translate_corpus(self.params, self.cfg, exs, self.tgt_vocab,
-                                   beam_size=beam_size)
+        bs = self._batch_size(batch_size)
+        if bulk or len(exs) <= bs:
+            hyps, _ = translate_corpus(self.params, self.cfg, exs,
+                                       self.tgt_vocab, beam_size=beam_size,
+                                       batch_size=bs)
+        else:
+            # serving path: fixed-shape chunks so warmed programs cover
+            # every request size (translate_corpus orders outputs by list
+            # position, so plain slices concatenate correctly)
+            hyps = []
+            for lo in range(0, len(exs), bs):
+                h, _ = translate_corpus(self.params, self.cfg,
+                                        exs[lo:lo + bs], self.tgt_vocab,
+                                        beam_size=beam_size, batch_size=bs)
+                hyps.extend(h)
         if display:
             from vag_nmt_tpu.data.moses import Truecaser, moses_detokenize
 

@@ -26,7 +26,7 @@ from vag_nmt_tpu.data.batching import BucketBatcher, Example
 from vag_nmt_tpu.data.bpe import remove_bpe
 from vag_nmt_tpu.data.prefetch import device_prefetch
 from vag_nmt_tpu.data.vocab import Vocab
-from vag_nmt_tpu.decode.beam import beam_search
+from vag_nmt_tpu.decode.beam import _resolve_block, beam_search
 from vag_nmt_tpu.decode.greedy import greedy_decode
 from vag_nmt_tpu.models import prepare_decode
 from vag_nmt_tpu.models.decoder import decode_tables
@@ -95,8 +95,10 @@ def make_decode_fn(cfg: Config, beam_size: int, max_len: int,
         row_cap = _row_caps(cfg, max_len,
                             batch["src_mask"].sum(axis=-1).astype(jnp.int32))
         if beam_size <= 1:
-            toks, lens = greedy_decode(params, cfg.model, state, max_len,
-                                       tables=tables, row_cap=row_cap)
+            toks, lens = greedy_decode(
+                params, cfg.model, state, max_len, tables=tables,
+                row_cap=row_cap,
+                block_ngram=_resolve_block(cfg.decode.block_ngram))
             return toks, lens
         res = beam_search(params, cfg.model, state, beam_size=beam_size,
                           max_len=max_len,
@@ -205,8 +207,10 @@ def _make_super_one(cfg: Config, beam_size: int, max_len: int,
         # never-finished beam reaches max_len in max_len trips). Feeds
         # the MFU/roofline accounting in bench.py.
         if beam_size <= 1:
-            toks, lens = greedy_decode(params, cfg.model, state, max_len,
-                                       tables=tables, row_cap=row_cap)
+            toks, lens = greedy_decode(
+                params, cfg.model, state, max_len, tables=tables,
+                row_cap=row_cap,
+                block_ngram=_resolve_block(cfg.decode.block_ngram))
             steps = jnp.max(lens).astype(jnp.int32)
         else:
             res = beam_search(params, cfg.model, state,
