@@ -688,3 +688,29 @@ def test_block_ngram_greedy_noop_when_disabled(setup):
     np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
     np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
 
+
+
+def test_block_ngram_fused_matches_unfused(setup, monkeypatch):
+    """The ban now rides INTO the fused readout->top-k kernel as a dense
+    streamed vocab mask (r4 — blocking previously forced the whole unfused
+    pipeline): full beam search with blocking through the fused kernel
+    (interpret mode off-TPU) must match the unfused logits-scatter path,
+    including at slot depth < K (the watermark/deferred-recovery regime)
+    and in deferred mode."""
+    params, m, state = setup
+    monkeypatch.setenv("VAG_READOUT_TOPK", "unfused")
+    ref = beam_search(params, m, state, beam_size=3, max_len=16,
+                      block_ngram=2)
+    monkeypatch.setenv("VAG_READOUT_TOPK", "fused")
+    for slots in ("", "1"):
+        if slots:
+            monkeypatch.setenv("VAG_FRT_SLOTS", slots)
+        fused = beam_search(params, m, state, beam_size=3, max_len=16,
+                            block_ngram=2)
+        np.testing.assert_array_equal(np.asarray(fused.tokens),
+                                      np.asarray(ref.tokens))
+        np.testing.assert_array_equal(np.asarray(fused.lengths),
+                                      np.asarray(ref.lengths))
+        np.testing.assert_allclose(np.asarray(fused.scores),
+                                   np.asarray(ref.scores),
+                                   rtol=1e-5, atol=1e-5)

@@ -183,3 +183,49 @@ def test_frozen_rows_do_not_arm_the_watermark_fallback():
     np.testing.assert_array_equal(np.asarray(out[1]), np.asarray(idxo))
     np.testing.assert_allclose(np.asarray(out[0]), np.asarray(vo),
                                rtol=1e-5, atol=1e-5)
+
+
+def _ban_oracle(t, w, b, scores, finished, ban, pad_id=0):
+    from vag_nmt_tpu.ops.pallas_topk import _FLOOR
+
+    logits = (jnp.dot(t, w, preferred_element_type=jnp.float32)
+              + b.astype(jnp.float32))
+    R = logits.shape[0]
+    rows = jnp.arange(R, dtype=jnp.int32)[:, None]
+    logits = logits.at[rows, ban].min(jnp.float32(_FLOOR))
+    B, K = scores.shape
+    return beam_topk(logits.reshape(B, K, -1), scores, finished,
+                     pad_id=pad_id, impl="xla")
+
+
+@pytest.mark.parametrize("slots", [0, 2])
+def test_ban_mask_matches_oracle(slots):
+    """The in-kernel dense ban mask (r4: no-repeat n-gram blocking no
+    longer forces the unfused pipeline) must match the oracle that
+    scatters the ban into materialized logits BEFORE beam_topk — the ban
+    excludes the banned mass from the softmax normalization on both
+    paths. Covers the sentinel (id == V, a dropped no-op), duplicate ids,
+    full slot depth and the shallow-slots watermark regime."""
+    rng = np.random.RandomState(11)
+    B, K, V, E, M = 8, 5, 768, 64, 12
+    t, w, b, scores, finished = _rand_case(B, K, V, E, seed=11)
+    ban = rng.randint(0, V + 1, (B * K, M)).astype(np.int32)  # V = sentinel
+    ban[:, -1] = ban[:, 0]                                    # duplicates
+    ban = jnp.asarray(ban)
+    vf, idxf = fused_readout_topk(t, w, b, scores, finished, ban,
+                                  impl="pallas", slots=slots)
+    vo, idxo = _ban_oracle(t, w, b, scores, finished, ban)
+    np.testing.assert_array_equal(np.asarray(idxf), np.asarray(idxo))
+    np.testing.assert_allclose(np.asarray(vf), np.asarray(vo),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_ban_none_is_noop():
+    """ban=None must leave results identical to the no-ban signature (the
+    mask input is only added to the kernel when a ban is present)."""
+    t, w, b, scores, finished = _rand_case(8, 5, 640, 64, seed=3)
+    v0, i0 = fused_readout_topk(t, w, b, scores, finished, impl="pallas")
+    v1, i1 = fused_readout_topk(t, w, b, scores, finished, None,
+                                impl="pallas")
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))

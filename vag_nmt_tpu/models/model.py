@@ -198,12 +198,13 @@ def decode_step_topk(
     the chunk-rerun branch of the deferred recovery.
     ban: optional (B, K, M) int32 banned-token ids for no-repeat n-gram
     blocking (decode/beam.py; id == V is a no-op sentinel, dropped by the
-    scatter). Forces the unfused path — the streaming readout->top-k
-    kernel has no ban input — and scatters -inf into the banned logits
-    before candidate scoring."""
-    if ban is not None:
-        impl = "unfused"
-    elif impl == "auto":
+    scatter). On the fused path the ban rides INTO the streaming kernel
+    as a dense uint8 vocab mask (r4 — blocking previously forced the
+    whole unfused pipeline, measured ~1.6-1.9x slower per step at IKEA
+    shapes); on the unfused path it scatters -inf into the materialized
+    logits before candidate scoring. Both exclude the banned mass from
+    the softmax normalization."""
+    if impl == "auto":
         import os
 
         impl = os.environ.get("VAG_READOUT_TOPK", "")
@@ -220,10 +221,11 @@ def decode_step_topk(
         # streaming kernel — off-TPU it runs in interpret mode, which is
         # what the cross-impl beam parity tests exercise.
         K = scores.shape[1]
-        out = fused_readout_topk(t, w_out, b_out, scores, finished,
-                                 impl="pallas",
-                                 slots=K if exact else 0,
-                                 defer_exact=defer_exact)
+        out = fused_readout_topk(
+            t, w_out, b_out, scores, finished,
+            None if ban is None else ban.reshape(t.shape[0], -1),
+            impl="pallas", slots=K if exact else 0,
+            defer_exact=defer_exact)
         return (s_new,) + out
 
     from vag_nmt_tpu.ops.pallas_topk import beam_topk

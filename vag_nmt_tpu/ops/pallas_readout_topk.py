@@ -110,9 +110,9 @@ def deferred_exactness_active(K: int) -> bool:
     return min(max(1, slots), K) < K
 
 
-def _kernel(t_ref, w_ref, b_ref, vals_ref, idx_ref, lse_ref, viol_ref,
-            lg, s_l, w_mark, *slots, V: int, tv: int, K: int, sk: int,
-            direct: bool, no_lse: bool = False, no_cascade: bool = False):
+def _kernel(t_ref, w_ref, b_ref, *rest, V: int, tv: int, K: int, sk: int,
+            direct: bool, has_ban: bool = False, no_lse: bool = False,
+            no_cascade: bool = False):
     """Grid (nv,): one row tile holding all R rows; vocab streams in tv-wide
     blocks. Scratch (persists across grid steps): lg (R, tv) f32 logits
     block, s_l (R, 128) per-lane sumexp relative to the per-lane max
@@ -130,7 +130,21 @@ def _kernel(t_ref, w_ref, b_ref, vals_ref, idx_ref, lse_ref, viol_ref,
 
     direct=True computes the GEMM per 128-lane sub-tile straight into
     registers (slicing the w REF) instead of materializing the (R, tv)
-    logits block in VMEM scratch first."""
+    logits block in VMEM scratch first.
+
+    has_ban: a fourth input ref — an (R, tv) uint8 block of the dense
+    no-repeat n-gram ban mask (decode/beam.ngram_ban scattered over the
+    vocab axis by fused_readout_topk) streamed with the same vocab-block
+    index map as w. Banned lanes are floored BEFORE the online lse update
+    and the cascade, so the softmax normalization excludes the banned
+    mass — the same semantics as the unfused path's pre-beam_topk logits
+    scatter (r4: blocking previously forced the whole unfused pipeline,
+    measured ~1.6-1.9x slower per step at IKEA shapes)."""
+    if has_ban:
+        ban_ref = rest[0]
+        rest = rest[1:]
+    vals_ref, idx_ref, lse_ref, viol_ref, lg, s_l, w_mark = rest[:7]
+    slots = rest[7:]
     j = pl.program_id(0)
     nv = pl.num_programs(0)
     run_vals = slots[:sk]
@@ -172,6 +186,8 @@ def _kernel(t_ref, w_ref, b_ref, vals_ref, idx_ref, lse_ref, viol_ref,
         else:
             x = lg[:, c * 128:(c + 1) * 128]
         x = jnp.where(xi < V, x, _FLOOR)
+        if has_ban:
+            x = jnp.where(ban_ref[:, c * 128:(c + 1) * 128] != 0, _FLOOR, x)
         # Online logsumexp, per lane, referenced to the running top-1 slot
         # (vals[0] IS the per-lane max). _FLOOR fillers contribute exp of
         # ~-3e38 -> exactly 0. (no_lse/no_cascade are BENCH-ONLY cost-split
@@ -282,6 +298,7 @@ def fused_readout_topk(
     b: jnp.ndarray,           # (V,) fp32 output bias
     scores: jnp.ndarray,      # (B, K) fp32 running beam scores
     finished: jnp.ndarray,    # (B, K) bool
+    ban: jnp.ndarray = None,  # optional (B*K, M) int32 banned ids (V = none)
     *,
     pad_id: int = PAD_ID,
     impl: str = "auto",
@@ -323,7 +340,14 @@ def fused_readout_topk(
     whole chunk with the depth-K kernel when it fired (chunk-level cond,
     P ~2e-6/row/step of firing), which removes the measured ~17 us/step
     in-context cost of the per-step cond from the hot loop. When the depth
-    is already exact (sk >= K) the flag is constant False."""
+    is already exact (sk >= K) the flag is constant False.
+
+    ban: optional (B*K, M) int32 banned token ids (no-repeat n-gram
+    blocking; id == V is a no-op sentinel). Scattered into a dense
+    (B*K, V) uint8 mask that streams through the kernel with the vocab
+    blocks — banned logits are floored before the online lse and the
+    cascade, excluding their mass from the softmax normalization exactly
+    as the unfused path's pre-beam_topk logits scatter does."""
     B, K = scores.shape
     E, V = w.shape
     R = t.shape[0]
@@ -340,6 +364,9 @@ def fused_readout_topk(
 
         logits = (jnp.dot(t, w, preferred_element_type=jnp.float32)
                   + b.astype(jnp.float32))
+        if ban is not None:
+            rows = jnp.arange(R, dtype=jnp.int32)[:, None]
+            logits = logits.at[rows, ban].min(jnp.float32(_FLOOR))
         out = beam_topk(logits.reshape(B, K, V), scores, finished,
                         pad_id=pad_id, impl="xla")
         return out + (jnp.zeros((), bool),) if defer_exact else out
@@ -350,10 +377,24 @@ def fused_readout_topk(
     sk = min(max(1, slots), K)
     nv = -(-V // tv)
 
+    mask = None
+    if ban is not None:
+        # Dense uint8 ban mask, streamed block-by-block with the vocab
+        # tiles (adds ~V bytes/row/step of HBM traffic — at the IKEA shape
+        # (R=640, V=13381) that is ~8.6 MB/step, vs the ~54 MB of fp32
+        # logits round trips the unfused fallback re-materializes).
+        rows = jnp.arange(R, dtype=jnp.int32)[:, None]
+        mask = jnp.zeros((R, V), jnp.uint8).at[rows, ban].set(
+            jnp.uint8(1))  # sentinel V is out of range -> dropped
+
     def call_kernel(depth: int):
+        ban_in = [] if mask is None else [
+            pl.BlockSpec((R, tv), lambda j: (0, j),
+                         memory_space=pltpu.VMEM)]
         return pl.pallas_call(
             functools.partial(_kernel, V=V, tv=tv, K=K, sk=depth,
-                              direct=direct, no_lse=_bench_no_lse,
+                              direct=direct, has_ban=mask is not None,
+                              no_lse=_bench_no_lse,
                               no_cascade=_bench_no_cascade),
             grid=(nv,),
             in_specs=[
@@ -363,7 +404,7 @@ def fused_readout_topk(
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, tv), lambda j: (0, j),
                              memory_space=pltpu.VMEM),
-            ],
+            ] + ban_in,
             out_specs=[
                 pl.BlockSpec((R, K), lambda j: (0, 0),
                              memory_space=pltpu.VMEM),
@@ -388,7 +429,8 @@ def fused_readout_topk(
                             + [pltpu.VMEM((R, 128), jnp.int32)] * depth),
             compiler_params=_COMPILER_PARAMS,
             interpret=_interpret(),
-        )(t, w, b.reshape(1, V))
+        )(*((t, w, b.reshape(1, V))
+            + (() if mask is None else (mask,))))
 
     scores32 = scores.astype(jnp.float32)
     rvals, ridx, lse, viol = call_kernel(sk)
