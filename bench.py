@@ -99,10 +99,14 @@ def link_probe() -> dict:
     r = 200
     kern = max(chain(3 * r) - chain(r), 0.0) / (2 * r)
 
+    # rtt times a put AND a get of 4 bytes; each bandwidth measurement is
+    # one-way (put+ack, or fetch), so it carries ~half that latency — the
+    # earlier full-rtt subtraction overstated both bandwidths by a few
+    # percent at current link speeds, and worse on a faster link.
     return {
         "rtt_ms": round(rtt * 1e3, 2),
-        "h2d_mb_s": round(mb / max(h2d - rtt, 1e-9), 1),
-        "d2h_mb_s": round(mb / max(d2h - rtt, 1e-9), 1),
+        "h2d_mb_s": round(mb / max(h2d - rtt / 2, 1e-9), 1),
+        "d2h_mb_s": round(mb / max(d2h - rtt / 2, 1e-9), 1),
         "kernel_ms": round(kern * 1e3, 3),
     }
 

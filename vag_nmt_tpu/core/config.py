@@ -191,9 +191,11 @@ class DecodeConfig:
     # 0 (default) disables. SEMANTIC knob — outputs change by design (the
     # production cure for degenerate repetition loops, which under
     # length normalization can legitimately outscore real hypotheses and
-    # pin long-max_len decodes; see docs/usage.md "IKEA regime"). Forces
-    # the unfused readout->top-k path (the streaming kernel has no ban
-    # input); env VAG_BLOCK_NGRAM=N overrides for A/B.
+    # pin long-max_len decodes; see docs/usage.md "IKEA regime"). The ban
+    # streams into the fused readout->top-k kernel as a dense vocab mask
+    # (r4; previously forced the unfused path — kernel mask measured
+    # 1.27x faster end-to-end, benchmarks/block_ab.py); env
+    # VAG_BLOCK_NGRAM=N overrides for A/B.
     block_ngram: int = 0
     # Source-relative decode length cap (marian's max-length-factor): row i
     # freezes at step ceil(max_len_factor * src_len_i) + max_len_offset

@@ -46,7 +46,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from jax.sharding import PartitionSpec as P
 
-from vag_nmt_tpu.ops.pallas_gru import _SHARD_MESH
+from vag_nmt_tpu.ops.pallas_gru import _SHARD_MESH, _gates
 from vag_nmt_tpu.ops.pallas_topk import _interpret
 
 NEG_INF = -1e9  # ops/attention.masked_softmax's constant
@@ -97,13 +97,10 @@ def dec_step_shapes_supported(H: int, A: int, C: int, R: int,
 
 
 def _gru_gates(xg, hg, h):
-    """ops/gru.gru_cell_from_gates algebra: f32 gate math, state dtype
-    preserved (the decode loop carries bf16 states under bf16 compute)."""
-    H = h.shape[-1]
-    r = jax.nn.sigmoid(xg[:, :H] + hg[:, :H])
-    z = jax.nn.sigmoid(xg[:, H:2 * H] + hg[:, H:2 * H])
-    n = jnp.tanh(xg[:, 2 * H:] + r * hg[:, 2 * H:])
-    return ((1.0 - z) * n + z * h.astype(n.dtype)).astype(h.dtype)
+    """pallas_gru._gates algebra (f32 gate math), state dtype preserved
+    (the decode loop carries bf16 states under bf16 compute)."""
+    _, _, _, h_new = _gates(xg, hg, h.astype(jnp.float32))
+    return h_new.astype(h.dtype)
 
 
 def _kernel(gy_ref, s_ref, ctx_ref, ctxp_ref, mask_ref,
