@@ -23,22 +23,205 @@ Protocol (all on-device, production code paths):
    infra (tunnel quality) vs code. The probe runs BEFORE the timed decodes
    and touches none of their state.
 
+Resilience (VERDICT r4 item 1 — the round-4 score was NULLED by one
+transient remote-compile HTTP error at param init that restarted the whole
+protocol into the driver's timeout):
+
+- Every device-touching stage (probe, setup, init, each train chunk, each
+  timed decode) runs under a BOUNDED PER-STAGE retry (3 attempts, short
+  backoff) that only re-runs the failed stage — never the whole protocol.
+- Stage state is CACHED in /tmp keyed by config hash: the probe dict and
+  the brief-trained params (host numpy) survive a process restart, so even
+  a full re-run skips straight to the timed decodes.
+- An INTERNAL wall-clock budget (env VAG_BENCH_BUDGET_S, default 900 s)
+  degrades the protocol (skip probe, truncate training, fewer timed runs)
+  rather than overrunning the driver's timeout; a watchdog thread emits
+  the best-available JSON ~15 s before the budget expires and a SIGTERM
+  handler does the same if the driver starts killing us first.
+- A JSON line is ALWAYS printed, exactly once — degraded runs carry
+  "degraded": true plus the reason; even a fatal error prints a valid
+  (value 0.0) record instead of a bare traceback.
+- Fault injection for tests: VAG_BENCH_FAULT="init:2,timed:1" raises a
+  synthetic transient in the named stage that many times.
+
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "sent/s/chip", "vs_baseline": N, ...}
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
+import pickle
+import signal
+import sys
+import tempfile
+import threading
 import time
+import traceback
 
 import numpy as np
 
 BASELINE_SENT_PER_SEC = 5000.0  # BASELINE.json target for beam=5 on v5e
-N_SENT = 4096
-TRAIN_STEPS_MAX = 1500
-TRAIN_CHUNK = 250               # steps between length probes
+
+# Protocol knobs. The driver runs with defaults; the env overrides exist for
+# the CPU fault-injection tests (tiny shapes) and for on-chip knob A/Bs that
+# want the full bench protocol at a different chunk size. Non-default values
+# are reported in the JSON as "env_overrides" so a knob-swept run can never
+# masquerade as the headline.
+N_SENT = int(os.environ.get("VAG_BENCH_NSENT", 4096))
+TRAIN_STEPS_MAX = int(os.environ.get("VAG_BENCH_TRAIN_MAX", 1500))
+TRAIN_CHUNK = max(1, min(250, TRAIN_STEPS_MAX or 1))
+TIMED_RUNS = int(os.environ.get("VAG_BENCH_RUNS", 3))
+BUDGET_S = float(os.environ.get("VAG_BENCH_BUDGET_S", 900))
+CACHE_DIR = os.environ.get("VAG_BENCH_CACHE_DIR", "/tmp/vag_nmt_bench_state")
+CACHE_TTL_S = 6 * 3600.0
+_T0 = time.monotonic()
+
+_DEFAULTS = (N_SENT == 4096 and TRAIN_STEPS_MAX == 1500 and TIMED_RUNS == 3
+             and "VAG_BENCH_CHUNK" not in os.environ
+             and "VAG_BENCH_MAXLEN" not in os.environ
+             and "VAG_BENCH_PRESET" not in os.environ)
+
+
+def _remaining() -> float:
+    return BUDGET_S - (time.monotonic() - _T0)
+
+
+def _log(msg: str) -> None:
+    print(f"[bench] +{time.monotonic() - _T0:6.1f}s {msg}",
+          file=sys.stderr, flush=True)
+
+
+# --- single-shot JSON emission -------------------------------------------
+# RESULT is the best-available record at any instant; stages fill it in as
+# they complete. emit() prints it exactly once (watchdog, SIGTERM handler,
+# and the normal end-of-run all funnel here).
+RESULT: dict = {
+    "metric": "multi30k_ende_beam5_decode_throughput",
+    "value": 0.0,
+    "unit": "sent/s/chip",
+    "vs_baseline": 0.0,
+    "degraded": True,
+    "degraded_reason": "startup",
+}
+_EMIT_LOCK = threading.Lock()
+_EMITTED = False
+
+
+def emit(**updates) -> None:
+    global _EMITTED
+    with _EMIT_LOCK:
+        if _EMITTED:
+            return
+        _EMITTED = True
+        RESULT.update(updates)
+        if not RESULT.get("degraded"):
+            RESULT.pop("degraded_reason", None)
+        if not _DEFAULTS:
+            RESULT["env_overrides"] = True
+        print(json.dumps(RESULT), flush=True)
+
+
+def _update(**kv) -> None:
+    # All main-thread RESULT mutation goes through the lock so the watchdog
+    # thread never serializes a dict mid-update.
+    with _EMIT_LOCK:
+        if not _EMITTED:
+            RESULT.update(kv)
+
+
+def _watchdog() -> None:
+    # Emits the best-so-far record shortly before the internal budget
+    # expires, then hard-exits: a hung remote compile can block the main
+    # thread indefinitely, and only a separate thread can still print.
+    while not _EMITTED:
+        if _remaining() < 15.0:
+            _log("watchdog: budget nearly exhausted, emitting partial result")
+            emit(degraded=True, degraded_reason="internal_deadline")
+            os._exit(0)
+        time.sleep(1.0)
+
+
+def _on_sigterm(signum, frame):  # pragma: no cover - driver-timeout path
+    _log("SIGTERM received, emitting partial result")
+    emit(degraded=True, degraded_reason="sigterm")
+    os._exit(0)
+
+
+# --- bounded per-stage retries + fault injection --------------------------
+class _InjectedFault(Exception):
+    """Synthetic transient raised by VAG_BENCH_FAULT (tests only)."""
+
+
+def _parse_faults() -> dict:
+    out = {}
+    for part in os.environ.get("VAG_BENCH_FAULT", "").split(","):
+        if ":" in part:
+            stage, n = part.split(":", 1)
+            out[stage.strip()] = int(n)
+    return out
+
+
+_FAULTS = _parse_faults()
+
+
+def _transient(e: Exception) -> bool:
+    # The tunneled backend throws JaxRuntimeError/XlaRuntimeError for flaky
+    # RPC reads (observed r4: remote-compile "response body closed");
+    # deterministic failures (config errors, assertions) are NOT retried.
+    return (isinstance(e, _InjectedFault)
+            or type(e).__name__ in ("JaxRuntimeError", "XlaRuntimeError"))
+
+
+def attempt(stage: str, fn, tries: int = 3, backoff: float = 2.0):
+    """Run fn() with a bounded retry on transient backend errors.
+
+    Scope is ONE stage: a retry re-runs only this fn, never earlier stages
+    (their results are already in host memory / the /tmp cache)."""
+    for i in range(tries):
+        try:
+            if _FAULTS.get(stage, 0) > 0:
+                _FAULTS[stage] -= 1
+                raise _InjectedFault(f"injected fault in stage {stage!r}")
+            return fn()
+        except Exception as e:
+            if not _transient(e) or i == tries - 1:
+                raise
+            wait = min(backoff * (i + 1), max(_remaining() - 30.0, 0.0))
+            _log(f"stage={stage} transient {type(e).__name__} "
+                 f"(attempt {i + 1}/{tries}): {e}; retrying in {wait:.1f}s")
+            if wait > 0:
+                time.sleep(wait)
+
+
+# --- /tmp stage cache -----------------------------------------------------
+def _cache_path(name: str) -> str:
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    return os.path.join(CACHE_DIR, name)
+
+
+def _cache_load(name: str):
+    path = _cache_path(name)
+    try:
+        if time.time() - os.path.getmtime(path) > CACHE_TTL_S:
+            return None
+        with open(path, "rb") as f:
+            return pickle.load(f)
+    except Exception:
+        return None
+
+
+def _cache_store(name: str, obj) -> None:
+    try:
+        path = _cache_path(name)
+        fd, tmp = tempfile.mkstemp(dir=CACHE_DIR)
+        with os.fdopen(fd, "wb") as f:
+            pickle.dump(obj, f)
+        os.replace(tmp, path)  # atomic: a killed run never leaves half a file
+    except Exception as e:  # cache is an optimization, never fatal
+        _log(f"cache store {name} failed: {e}")
 
 
 def link_probe() -> dict:
@@ -96,23 +279,42 @@ def link_probe() -> dict:
         f(x).block_until_ready()                    # compile outside timing
         return med(lambda: f(x).block_until_ready(), n=5)
 
-    r = 200
+    # Rep count is env-tunable: the CPU harness tests set 1 (a 600-matmul
+    # chain on a CPU backend takes minutes and calibrates nothing).
+    r = int(os.environ.get("VAG_BENCH_PROBE_REPS", 200))
     kern = max(chain(3 * r) - chain(r), 0.0) / (2 * r)
 
     # rtt times a put AND a get of 4 bytes; each bandwidth measurement is
-    # one-way (put+ack, or fetch), so it carries ~half that latency — the
-    # earlier full-rtt subtraction overstated both bandwidths by a few
-    # percent at current link speeds, and worse on a faster link.
-    return {
+    # one-way (put+ack, or fetch), so it carries ~half that latency. A
+    # transfer time at or below the latency estimate means the measurement
+    # is meaningless — report null + probe_invalid, not a clamped huge
+    # number (ADVICE r4).
+    def bw(t):
+        d = t - rtt / 2
+        return round(mb / d, 1) if d > 1e-6 else None
+
+    out = {
         "rtt_ms": round(rtt * 1e3, 2),
-        "h2d_mb_s": round(mb / max(h2d - rtt / 2, 1e-9), 1),
-        "d2h_mb_s": round(mb / max(d2h - rtt / 2, 1e-9), 1),
+        "h2d_mb_s": bw(h2d),
+        "d2h_mb_s": bw(d2h),
         "kernel_ms": round(kern * 1e3, 3),
     }
+    if out["h2d_mb_s"] is None or out["d2h_mb_s"] is None:
+        out["probe_invalid"] = True
+    return out
 
 
 def main() -> None:
+    threading.Thread(target=_watchdog, daemon=True).start()
+    try:
+        signal.signal(signal.SIGTERM, _on_sigterm)
+    except ValueError:  # non-main thread (not expected; belt and braces)
+        pass
+
     import jax
+
+    if os.environ.get("VAG_BENCH_FORCE_CPU"):  # tests only
+        jax.config.update("jax_platforms", "cpu")
 
     # Persistent compilation cache: the fused decode program takes minutes to
     # compile cold on the tunneled chip but is stable across runs.
@@ -126,12 +328,11 @@ def main() -> None:
     from vag_nmt_tpu.data.batching import BucketBatcher, Example
     from vag_nmt_tpu.data.vocab import Vocab
     from vag_nmt_tpu.decode.translate import build_img_table, translate_corpus
+    from vag_nmt_tpu.models import init_params
     from vag_nmt_tpu.train.state import create_train_state
     from vag_nmt_tpu.train.step import make_train_step
 
-    probe = link_probe()
-
-    cfg = preset("m30k_ende_vag")
+    cfg = preset(os.environ.get("VAG_BENCH_PRESET", "m30k_ende_vag"))
     # decode_batch_size=128 measured best on v5e: chunks exit their beam
     # while_loop at the chunk's own max hypothesis length, and smaller
     # (length-sorted) chunks finish sooner; below 128 per-chunk fixed cost
@@ -144,11 +345,37 @@ def main() -> None:
     # decode-step microbench found the XLA step FASTER under fp32 params at
     # latency-bound shapes — dec_step_bench.py side finding, round 4).
     dtype = os.environ.get("VAG_BENCH_DTYPE", "bfloat16")
-    cfg = cfg.replace(model=dict(compute_dtype=dtype),
-                      decode=dict(beam_size=5, max_len=64,
-                                  decode_batch_size=128),
-                      data=dict(batch_size=64))
+    cfg = cfg.replace(
+        model=dict(compute_dtype=dtype),
+        decode=dict(beam_size=5,
+                    max_len=int(os.environ.get("VAG_BENCH_MAXLEN", 64)),
+                    decode_batch_size=int(
+                        os.environ.get("VAG_BENCH_CHUNK", 128))),
+        data=dict(batch_size=64))
     m = cfg.model
+    cfg_key = hashlib.sha256(
+        (json.dumps(cfg.to_dict(), sort_keys=True)
+         + f"|protocol-v1|{TRAIN_STEPS_MAX}").encode()).hexdigest()[:16]
+
+    # --- probe (cached; diagnostic only — its failure never blocks) -------
+    probe = _cache_load("probe.pkl")
+    if probe is not None:
+        _log("stage=probe cache hit")
+        probe = dict(probe, cached=True)
+    elif _remaining() > 0.5 * BUDGET_S:
+        _log("stage=probe")
+        try:
+            probe = attempt("probe", link_probe, tries=2)
+            _cache_store("probe.pkl", probe)
+        except Exception as e:
+            _log(f"probe failed, continuing without: {e}")
+            probe = {"probe_invalid": True, "error": type(e).__name__}
+    else:
+        probe = {"probe_invalid": True, "error": "skipped_for_budget"}
+    _update(probe=probe)
+
+    # --- host-side corpus construction (deterministic, no device) ---------
+    _log("stage=setup")
     rng = np.random.RandomState(0)
 
     def make_examples(n, lo, hi, with_tgt):
@@ -169,56 +396,155 @@ def main() -> None:
     # batch shape, ONE train-step compile; the copy task's <eos> placement
     # generalizes across lengths via attention.
     examples = make_examples(N_SENT, 4, 32, with_tgt=False)
-    train_exs = make_examples(2048, 13, 15, with_tgt=True)
+    train_exs = make_examples(min(2048, max(N_SENT, 64)), 13, 15,
+                              with_tgt=True)
     vocab = Vocab(["<pad>", "<unk>", "<sos>", "<eos>"]
                   + [f"t{i}" for i in range(m.tgt_vocab_size - 4)])
-    img_table = build_img_table(examples, m.img_feat_dim)
-
-    # --- brief on-chip training to a realistic decode-length regime -------
-    state = create_train_state(jax.random.key(0), cfg)
-    batcher = BucketBatcher(train_exs, cfg.data.batch_size,
-                            cfg.data.length_buckets, include_image=True,
-                            img_dim=m.img_feat_dim)
-    step_fn, _ = make_train_step(cfg)
-    step_rng = jax.random.key(1)
+    img_table = attempt("setup", lambda: build_img_table(
+        examples, m.img_feat_dim))
 
     def mean_len(hyps) -> float:
         # emitted units + the <eos> step (stripped from the text output)
         return float(np.mean([len(h.split()) + 1 for h in hyps]))
 
-    ml, steps_done, epoch = 65.0, 0, 0
-    while steps_done < TRAIN_STEPS_MAX:
-        todo = TRAIN_CHUNK
-        while todo > 0:
-            for batch in batcher.epoch(epoch):
-                state, _ = step_fn(state, batch, step_rng)
-                todo -= 1
-                steps_done += 1
-                if todo <= 0:
-                    break
-            epoch += 1
-        hyps, _ = translate_corpus(state.params, cfg, examples, vocab,
-                                   img_table=img_table)
-        ml = mean_len(hyps)
-        if 6.0 <= ml <= 24.0:
-            break
+    # --- brief on-chip training to a realistic decode-length regime -------
+    # Cached across restarts: a re-run after a crash (or the retry of a
+    # later stage's process) loads host-numpy params and skips straight to
+    # the timed decodes.
+    params = None
+    ml, steps_done = 65.0, 0
+    cached = _cache_load(f"params_{cfg_key}.pkl")
+    if cached is not None:
+        try:
+            want = jax.eval_shape(
+                lambda k: init_params(k, cfg.model), jax.random.key(0))
+            got = cached["params"]
+            ok = (jax.tree_util.tree_structure(want)
+                  == jax.tree_util.tree_structure(got))
+            ok = ok and all(
+                w.shape == np.shape(g) for w, g in zip(
+                    jax.tree_util.tree_leaves(want),
+                    jax.tree_util.tree_leaves(got)))
+            if ok:
+                # One upload now; the timed decodes must see DEVICE-resident
+                # params (numpy params re-upload ~35 MB per dispatch on the
+                # ~25 MB/s tunnel — measured 10x on the headline).
+                params = attempt("init", lambda: jax.device_put(got))
+                ml = cached["mean_len"]
+                steps_done = cached["steps_done"]
+                _log(f"stage=train cache hit (steps={steps_done}, "
+                     f"mean_len={ml:.2f})")
+        except Exception as e:
+            _log(f"params cache invalid, retraining: {e}")
+            params = None
 
-    params = state.params
+    train_truncated = False
+    if params is None:
+        _log("stage=init")
+        state = attempt("init", lambda: create_train_state(
+            jax.random.key(0), cfg))
+        batcher = BucketBatcher(train_exs, cfg.data.batch_size,
+                                cfg.data.length_buckets, include_image=True,
+                                img_dim=m.img_feat_dim)
+        step_fn, _ = make_train_step(cfg)
+        step_rng = jax.random.key(1)
+        epoch = 0
+
+        def train_chunk(state, epoch, todo):
+            # One retryable unit: a transient here re-runs at most
+            # TRAIN_CHUNK steps, never the whole protocol.
+            while todo > 0:
+                for batch in batcher.epoch(epoch):
+                    state, _ = step_fn(state, batch, step_rng)
+                    todo -= 1
+                    if todo <= 0:
+                        break
+                epoch += 1
+            jax.block_until_ready(state.params)
+            return state, epoch
+
+        _log("stage=train")
+        while steps_done < TRAIN_STEPS_MAX:
+            # Reserve the back half of the budget for decode compile + the
+            # timed runs; a shorter-trained model degrades realism, not
+            # validity, and the JSON says so.
+            if _remaining() < 0.5 * BUDGET_S and steps_done > 0:
+                train_truncated = True
+                _log("stage=train truncated for budget")
+                break
+            state, epoch = attempt(
+                "train", lambda s=state, e=epoch: train_chunk(
+                    s, e, TRAIN_CHUNK))
+            steps_done += TRAIN_CHUNK
+            hyps, _ = attempt("train_probe_decode", lambda: translate_corpus(
+                state.params, cfg, examples, vocab, img_table=img_table))
+            ml = mean_len(hyps)
+            _log(f"stage=train steps={steps_done} mean_len={ml:.2f}")
+            if 6.0 <= ml <= 24.0:
+                break
+
+        params = state.params          # device-resident for the timed runs
+        _cache_store(f"params_{cfg_key}.pkl", {
+            "params": jax.device_get(state.params), "mean_len": ml,
+            "steps_done": steps_done})
+
+    _update(beam_size=5, train_steps_for_eos=steps_done,
+            n_sentences=N_SENT, compute_dtype=dtype)
+    if train_truncated:
+        _update(train_truncated=True)
 
     # --- timed runs -------------------------------------------------------
-    # Headline value is the MEDIAN of 3 runs (matches the README's range-based
-    # reporting convention; a best-of-N single number overstates sustained
-    # throughput), with the full min..max range alongside.
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        hyps, stats = translate_corpus(params, cfg, examples, vocab,
-                                       img_table=img_table)
-        times.append(time.perf_counter() - t0)
-    ml = mean_len(hyps)
+    # Headline value is the MEDIAN of the completed runs (target 3; fewer
+    # only when the budget forces it, flagged as degraded), with the full
+    # min..max range alongside.
+    times, stats, hyps = [], None, None
 
-    runs = sorted(N_SENT / t for t in times)   # ascending sent/s
-    value = runs[1]
+    # Test hook: simulate a hang here so the watchdog/SIGTERM tests are
+    # deterministic (the real hang risk — a stuck remote compile — can't be
+    # triggered on demand).
+    hang = float(os.environ.get("VAG_BENCH_HANG_BEFORE_TIMED", 0))
+    if hang:
+        _log(f"hang hook: sleeping {hang:.0f}s before timed runs")
+        time.sleep(hang)
+
+    def timed_run():
+        t0 = time.perf_counter()
+        h, s = translate_corpus(params, cfg, examples, vocab,
+                                img_table=img_table)
+        return time.perf_counter() - t0, h, s
+
+    # Untimed warmup: on the params-cache-hit path nothing has compiled the
+    # fused decode program in THIS process yet (the train loop's probe
+    # decodes used to do it implicitly), and a compile inside timed run 1
+    # poisons the reported range (measured: 38 vs 23.6k sent/s legs).
+    _log("stage=warmup_decode")
+    attempt("warmup_decode", timed_run)
+
+    for i in range(TIMED_RUNS):
+        if times and _remaining() < 1.5 * max(times) + 30.0:
+            break
+        _log(f"stage=timed run={i + 1}")
+        t, hyps, stats = attempt("timed", timed_run)
+        times.append(t)
+        runs = sorted(N_SENT / x for x in times)
+        value = runs[len(runs) // 2]
+        # Update the shared record after EVERY completed run so the
+        # watchdog/SIGTERM paths always report the best available number.
+        _update(
+            value=round(value, 1),
+            vs_baseline=round(value / BASELINE_SENT_PER_SEC, 3),
+            range_sent_per_sec=[round(runs[0], 1), round(runs[-1], 1)],
+            timed_runs=len(times),
+            degraded=len(times) < TIMED_RUNS or train_truncated,
+            degraded_reason=("partial_timed_runs" if len(times)
+                             < TIMED_RUNS else "train_truncated"),
+        )
+
+    if not times:
+        emit(degraded=True, degraded_reason="no_timed_runs_completed")
+        return
+
+    ml = mean_len(hyps)
 
     # --- MFU / roofline (VERDICT r1 item 2; core/flops.py) ----------------
     # FLOPs from the REALIZED beam while_loop trip counts (stats), not
@@ -232,7 +558,7 @@ def main() -> None:
         roofline,
     )
 
-    elapsed_med = sorted(times)[1]
+    elapsed_med = sorted(times)[len(times) // 2]
     nb, rows, t_src = stats["n_chunks"], stats["rows_per_chunk"], stats["t_src"]
     loop_steps = stats["beam_loop_steps"]
     beam = stats["beam_size"]
@@ -241,52 +567,40 @@ def main() -> None:
     total_bytes = loop_steps * decode_step_bytes(m, rows * beam, t_src)
     roof = roofline(total_flops / elapsed_med, total_bytes / elapsed_med)
 
-    print(json.dumps({
-        "metric": "multi30k_ende_beam5_decode_throughput",
-        "value": round(value, 1),
-        "unit": "sent/s/chip",
-        "vs_baseline": round(value / BASELINE_SENT_PER_SEC, 3),
-        "range_sent_per_sec": [round(runs[0], 1), round(runs[-1], 1)],
-        "beam_size": 5,
-        "mean_hyp_len": round(ml, 2),
+    emit(
+        mean_hyp_len=round(ml, 2),
         # Realism transparency (VERDICT r2 weak #4): hypothesis-length
         # SPREAD and the realized per-chunk while_loop trip counts — a
         # copy-task model with matching mean but collapsed variance would
         # overstate early-exit benefits vs a converged NMT posterior.
-        "hyp_len_std": round(float(np.std(
+        hyp_len_std=round(float(np.std(
             [len(h.split()) + 1 for h in hyps])), 2),
-        "chunk_trip_min_med_max": [
+        chunk_trip_min_med_max=[
             int(np.min(stats["chunk_steps"])),
             int(np.median(stats["chunk_steps"])),
             int(np.max(stats["chunk_steps"]))],
-        "train_steps_for_eos": steps_done,
-        "n_sentences": N_SENT,
-        "probe": probe,
-        "compute_dtype": dtype,
-        "achieved_tflops": round(total_flops / elapsed_med / 1e12, 2),
-        "mfu": round(roof["mfu"], 4),
-        "mfu_peak_tflops": V5E_PEAK_BF16_FLOPS / 1e12,
-        "hbm_util_est": round(roof["hbm_util"], 4),
-        "bound": roof["bound"],
-        "gflop_per_sentence": round(total_flops / (nb * rows) / 1e9, 3),
-    }))
+        achieved_tflops=round(total_flops / elapsed_med / 1e12, 2),
+        mfu=round(roof["mfu"], 4),
+        mfu_peak_tflops=V5E_PEAK_BF16_FLOPS / 1e12,
+        hbm_util_est=round(roof["hbm_util"], 4),
+        bound=roof["bound"],
+        gflop_per_sentence=round(total_flops / (nb * rows) / 1e9, 3),
+        degraded=len(times) < TIMED_RUNS or train_truncated,
+        degraded_reason=("partial_timed_runs" if len(times) < TIMED_RUNS
+                         else "train_truncated"),
+    )
 
 
 if __name__ == "__main__":
     try:
         main()
-    except Exception as e:   # pragma: no cover
-        # The tunneled backend occasionally throws transient RUNTIME errors
-        # (observed: FAILED_PRECONDITION on a fetch that succeeded on
-        # rerun); one retry keeps a flake from zeroing out a scoring run.
-        # Deterministic failures (config errors, assertions) re-raise
-        # immediately rather than re-running minutes of warm-up.
-        if type(e).__name__ not in ("JaxRuntimeError", "XlaRuntimeError"):
-            raise
-        import sys
-        import traceback
-
+    except BaseException as e:  # pragma: no cover - last-resort backstop
+        # Per-stage retries already absorbed transient flakes; whatever
+        # reaches here is fatal — but the scoreboard still gets a valid
+        # (degraded) JSON line instead of a bare traceback (VERDICT r4:
+        # "nothing printed" nulled the round).
         traceback.print_exc()
-        print(f"retrying once after transient error: {type(e).__name__}",
-              file=sys.stderr)
-        main()
+        emit(degraded=True,
+             degraded_reason=f"fatal:{type(e).__name__}: {e}"[:300])
+        if isinstance(e, KeyboardInterrupt):
+            raise

@@ -65,6 +65,27 @@ def protocol_setup():
                   + [f"t{i}" for i in range(m.tgt_vocab_size - 4)])
     img_table = build_img_table(examples, m.img_feat_dim)
 
+    # Reuse bench.py's /tmp-cached brief-trained params when present (same
+    # cfg + protocol => same key): a knob sweep after a headline run skips
+    # the ~minutes of on-chip warm-up training entirely.
+    import hashlib
+    import json
+
+    from bench import _cache_load, _cache_store
+
+    cfg_key = hashlib.sha256(
+        (json.dumps(cfg.to_dict(), sort_keys=True)
+         + f"|protocol-v1|{TRAIN_STEPS_MAX}").encode()).hexdigest()[:16]
+    cached = _cache_load(f"params_{cfg_key}.pkl")
+    if cached is not None:
+        print(f"# protocol checkpoint from bench cache: "
+              f"{cached['steps_done']} steps, "
+              f"mean hyp len {cached['mean_len']:.2f}", flush=True)
+        # device_put: callers time decodes, and host-numpy params would
+        # re-upload ~35 MB per dispatch on the tunnel
+        return (cfg, jax.device_put(cached["params"]), examples, vocab,
+                img_table, cached["steps_done"])
+
     state = create_train_state(jax.random.key(0), cfg)
     batcher = BucketBatcher(train_exs, cfg.data.batch_size,
                             cfg.data.length_buckets, include_image=True,
@@ -89,4 +110,7 @@ def protocol_setup():
             break
     print(f"# protocol checkpoint: {steps_done} steps, "
           f"mean hyp len {ml:.2f}", flush=True)
+    params_host = jax.device_get(state.params)
+    _cache_store(f"params_{cfg_key}.pkl", {
+        "params": params_host, "mean_len": ml, "steps_done": steps_done})
     return cfg, state.params, examples, vocab, img_table, steps_done
