@@ -71,6 +71,15 @@ def main() -> None:
                     "preprocess, and the initial train stage, and enter the "
                     "train-to-EOS loop with this many steps already trained "
                     "(the checkpoint under --out/run must exist)")
+    ap.add_argument("--recipe", action="store_true",
+                    help="ALSO decode with the recommended long-caption "
+                    "production recipe (VERDICT r4 item 5) — per-row "
+                    "source-relative caps + exact admissible prune + "
+                    "no-repeat n-gram ban — and emit a second "
+                    "'decode_recipe' JSON next to the flat-cap number")
+    ap.add_argument("--recipe-factor", type=float, default=1.5)
+    ap.add_argument("--recipe-offset", type=int, default=5)
+    ap.add_argument("--recipe-block", type=int, default=4)
     args = ap.parse_args()
     raw = os.path.join(args.out, "raw")
     prep = os.path.join(args.out, "prep")
@@ -147,43 +156,73 @@ def main() -> None:
                                        beam_size=5, img_table=tbl)
         ml = float(np.mean([len(h.split()) + 1 for h in hyps]))
 
-    for i in range(2):  # 2 timed runs after the warm decode above
-        hyps, stats = translate_corpus(state.params, cfg, exs, tgt_vocab,
-                                       beam_size=5, img_table=tbl)
     refs = []
     with open(os.path.join(prep, "test.de"), encoding="utf-8") as f:
         from vag_nmt_tpu.data.bpe import remove_bpe
 
         refs = [" ".join(remove_bpe(ln.split())) for ln in f]
-    bleu = corpus_bleu(hyps, refs)
 
-    m = cfg.model
-    nb, rows, t_src = stats["n_chunks"], stats["rows_per_chunk"], stats["t_src"]
-    flops = (nb * rows * prepare_flops(m, t_src)
-             + stats["beam_loop_steps"] * rows * 5 * decode_step_flops(m, t_src))
-    byts = stats["beam_loop_steps"] * decode_step_bytes(m, rows * 5, t_src)
-    roof = roofline(flops / stats["elapsed_s"], byts / stats["elapsed_s"])
-    print(json.dumps({
-        "stage": "decode", "beam": 5, "max_len": cfg.decode.max_len,
-        "t_src_bucket": t_src,
-        "sent_per_sec": round(stats["sentences_per_sec"], 1),
-        # +1 = the <eos> step, matching bench.py's convention and this
-        # script's own train-to-EOS gate (review finding: the JSON used to
-        # drop the +1, printing a number below its own acceptance band)
-        "mean_hyp_len": round(float(np.mean(
-            [len(h.split()) + 1 for h in hyps])), 1),
-        "hyp_len_std": round(float(np.std(
-            [len(h.split()) + 1 for h in hyps])), 1),
-        "train_steps_total": steps,
-        "chunk_trip_min_med_max": [
-            int(np.min(stats["chunk_steps"])),
-            int(np.median(stats["chunk_steps"])),
-            int(np.max(stats["chunk_steps"]))],
-        "bleu_after_brief_training": round(bleu.bleu, 1),
-        "achieved_tflops": round(flops / stats["elapsed_s"] / 1e12, 2),
-        "mfu": round(roof["mfu"], 4), "bound": roof["bound"],
-        "vocab": (len(src_vocab), len(tgt_vocab)),
-    }), flush=True)
+    def timed_decode(stage: str, cfg_d, extra=None):
+        hyps = stats = None
+        for i in range(2):  # 2 timed runs (first call above/below warms)
+            hyps, stats = translate_corpus(state.params, cfg_d, exs,
+                                           tgt_vocab, beam_size=5,
+                                           img_table=tbl)
+        bleu = corpus_bleu(hyps, refs)
+        m = cfg_d.model
+        nb, rows, t_src = (stats["n_chunks"], stats["rows_per_chunk"],
+                           stats["t_src"])
+        flops = (nb * rows * prepare_flops(m, t_src)
+                 + stats["beam_loop_steps"] * rows * 5
+                 * decode_step_flops(m, t_src))
+        byts = stats["beam_loop_steps"] * decode_step_bytes(
+            m, rows * 5, t_src)
+        roof = roofline(flops / stats["elapsed_s"],
+                        byts / stats["elapsed_s"])
+        print(json.dumps({
+            "stage": stage, "beam": 5, "max_len": cfg_d.decode.max_len,
+            "t_src_bucket": t_src,
+            "sent_per_sec": round(stats["sentences_per_sec"], 1),
+            # +1 = the <eos> step, matching bench.py's convention and this
+            # script's own train-to-EOS gate (review finding: the JSON used
+            # to drop the +1, printing a number below its own acceptance
+            # band)
+            "mean_hyp_len": round(float(np.mean(
+                [len(h.split()) + 1 for h in hyps])), 1),
+            "hyp_len_std": round(float(np.std(
+                [len(h.split()) + 1 for h in hyps])), 1),
+            "train_steps_total": steps,
+            "chunk_trip_min_med_max": [
+                int(np.min(stats["chunk_steps"])),
+                int(np.median(stats["chunk_steps"])),
+                int(np.max(stats["chunk_steps"]))],
+            "bleu_after_brief_training": round(bleu.bleu, 1),
+            "achieved_tflops": round(flops / stats["elapsed_s"] / 1e12, 2),
+            "mfu": round(roof["mfu"], 4), "bound": roof["bound"],
+            "vocab": (len(src_vocab), len(tgt_vocab)),
+            **(extra or {}),
+        }), flush=True)
+
+    timed_decode("decode", cfg)
+
+    if args.recipe:
+        # The production long-caption configuration (VERDICT r4 item 5):
+        # per-row source-relative caps tighten the admissible-prune bound
+        # to raw/rowcap^alpha (the fairseq/marian coupling), and the
+        # n-gram ban removes the degenerate repetition loops that pin
+        # trips at max_len. SEMANTIC regime — caps can truncate rows and
+        # the ban changes outputs by design, so BLEU is recorded next to
+        # throughput rather than asserted equal.
+        recipe_cfg = cfg.replace(decode=dict(
+            max_len_factor=args.recipe_factor,
+            max_len_offset=args.recipe_offset,
+            block_ngram=args.recipe_block,
+            beam_prune="on"))
+        timed_decode("decode_recipe", recipe_cfg, extra={
+            "max_len_factor": args.recipe_factor,
+            "max_len_offset": args.recipe_offset,
+            "block_ngram": args.recipe_block,
+        })
 
 
 if __name__ == "__main__":

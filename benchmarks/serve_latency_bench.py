@@ -17,6 +17,27 @@ unwarmed deployment instead (measured: p99 ~2 s vs ~29 ms p50 at batch 8
 — the compile events land in the tail).
 
 Run ON TPU:  python benchmarks/serve_latency_bench.py [--calls 100]
+
+Arrival-process mode (--arrival; VERDICT r4 item 4): an online serving
+simulation through decode/serve.Translator — Poisson arrivals of single
+sentences with UNSORTED Multi30k lengths, a dynamic-batching server that
+drains its queue in chunk-quantized batches (a fixed working-set cap of
+--pool-chunks decode chunks), and an A/B of the two multi-chunk decode
+architectures the Translator offers:
+
+  chunked   — the host chunk loop: one dispatch per batch_size chunk,
+              each chunk pays its own slowest row to max over the chunk.
+  streaming — translate(streaming=True): ONE dispatch per drain; a
+              batch_size-row working set refills from the drained pool as
+              rows finish (beam_search_streaming's design regime —
+              unsorted lengths make chunk service times heterogeneous).
+
+Both modes replay the SAME seeded arrival trace. Reported per rate:
+completed sent/s, mean drain size, and p50/p99 sentence latency
+(completion - arrival, which includes queueing delay).
+
+Run ON TPU:  python benchmarks/serve_latency_bench.py --arrival \
+                 [--rates 500,1000,2000] [--n-req 2000] [--batch 32]
 """
 
 from __future__ import annotations
@@ -32,6 +53,92 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+def _make_translator(cfg, params, vocab):
+    """A real decode/serve.Translator over the bench-protocol checkpoint:
+    src text is the synthetic vocab's own surface forms ("t7 t123 ..."),
+    so the full serve path (tokenize -> vocab encode -> decode -> detok)
+    runs exactly as deployed."""
+    from vag_nmt_tpu.decode.serve import Translator
+
+    return Translator(cfg, params, src_bpe=None, src_vocab=vocab,
+                      tgt_vocab=vocab, lower=True, tokenizer="simple")
+
+
+def _example_line(vocab, ex):
+    return " ".join(vocab.itos[t] for t in ex.src)
+
+
+def arrival_main(args):
+    from benchmarks.bench_setup import protocol_setup
+
+    cfg, params, examples, vocab, _, _ = protocol_setup()
+    bs = args.batch
+    pool_q = args.pool_chunks
+    tr = _make_translator(cfg, params, vocab)
+
+    # Pre-render request text + features once (host prep outside the loop;
+    # per-request encode still happens inside translate(), as deployed).
+    lines = [_example_line(vocab, ex) for ex in examples]
+    feats = np.stack([ex.img for ex in examples])
+
+    # Warm every shape the server can hit: all buckets at the chunk shape,
+    # plus the pooled streaming shapes for each drain quantum.
+    qs = sorted({q for q in (1, 2, 4, pool_q) if 1 <= q <= pool_q})
+    t0 = time.perf_counter()
+    tr.warmup(batch_size=bs, streaming_chunks=qs)
+    print(f"# warmup ({len(cfg.data.length_buckets)} buckets x "
+          f"(chunk + {len(qs)} pool shapes)): "
+          f"{time.perf_counter() - t0:.1f}s", flush=True)
+
+    def run_mode(streaming: bool, rate: float, n_req: int, seed: int):
+        rng = np.random.RandomState(seed)
+        arrive = np.cumsum(rng.exponential(1.0 / rate, n_req))
+        order = rng.permutation(len(examples))[:n_req]  # unsorted lengths
+        done = np.zeros(n_req)
+        t_start = time.perf_counter()
+        i = 0
+        while i < n_req:
+            now = time.perf_counter() - t_start
+            if arrive[i] > now:
+                time.sleep(min(arrive[i] - now, 0.05))
+                continue
+            # Drain: all arrived-but-unserved requests, quantized DOWN to a
+            # warmed drain size (multiples of bs in {1,2,4,pool_q} chunks,
+            # or a single partial chunk) so no live request ever compiles.
+            n_wait = int(np.searchsorted(arrive, now, side="right")) - i
+            if n_wait >= bs:
+                q = max(x for x in qs if x * bs <= n_wait) \
+                    if n_wait < pool_q * bs else pool_q
+                take = q * bs
+            else:
+                take = n_wait
+            idx = order[i:i + take]
+            tr.translate([lines[j] for j in idx],
+                         images=feats[idx], batch_size=bs,
+                         streaming=streaming)
+            done[i:i + take] = time.perf_counter() - t_start
+            i += take
+        lat = done[:n_req] - arrive[:n_req]
+        lat_ms = np.sort(lat * 1e3)
+        q_ = lambda p: float(lat_ms[min(len(lat_ms) - 1,
+                                        int(round(p * (len(lat_ms) - 1))))])
+        return {
+            "sent_per_s": round(n_req / float(done.max()), 1),
+            "p50_ms": round(q_(0.50), 1),
+            "p99_ms": round(q_(0.99), 1),
+            "mean_latency_ms": round(float(lat_ms.mean()), 1),
+        }
+
+    out = {"batch": bs, "pool_chunks": pool_q, "n_req": args.n_req}
+    for rate in [float(x) for x in args.rates.split(",")]:
+        for mode, streaming in (("chunked", False), ("streaming", True)):
+            r = run_mode(streaming, rate, args.n_req, seed=int(rate))
+            out[f"rate{int(rate)}_{mode}"] = r
+            print(f"# rate {int(rate)}/s {mode}: {r['sent_per_s']} sent/s, "
+                  f"p50 {r['p50_ms']} ms, p99 {r['p99_ms']} ms", flush=True)
+    print(json.dumps(out, indent=1))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--calls", type=int, default=100)
@@ -39,7 +146,20 @@ def main():
     ap.add_argument("--cold", action="store_true",
                     help="skip the per-bucket pre-warm (measures an "
                          "unwarmed deployment; compiles land in the tail)")
+    ap.add_argument("--arrival", action="store_true",
+                    help="online arrival-process A/B: chunked vs "
+                         "streaming-refill through serve.Translator")
+    ap.add_argument("--rates", default="500,1000,2000",
+                    help="Poisson arrival rates (sent/s) for --arrival")
+    ap.add_argument("--n-req", type=int, default=2000)
+    ap.add_argument("--batch", type=int, default=32,
+                    help="serving batch size (--arrival)")
+    ap.add_argument("--pool-chunks", type=int, default=8,
+                    help="max drain size in decode chunks (--arrival)")
     args = ap.parse_args()
+    if args.arrival:
+        arrival_main(args)
+        return
 
     from benchmarks.bench_setup import protocol_setup
     from vag_nmt_tpu.data.batching import Example

@@ -180,3 +180,27 @@ def test_translate_chunked_matches_bulk_and_hits_warmed_shapes(toy_run):
     for shape in seen:
         assert shape[0] == 1 and shape[1] == 1, shape  # (ns, S, B, t_src)
         assert shape[2] == bs, shape
+
+
+def test_translate_streaming_pool_matches_chunked(toy_run):
+    """streaming=True decodes a multi-chunk request via the streaming-refill
+    pooled program (one dispatch, working set = batch_size rows refilling
+    from the request pool). EXACT architecture: hypotheses must equal the
+    chunk-loop and bulk outputs; single-chunk requests fall back to the
+    plain program."""
+    from vag_nmt_tpu.decode.serve import Translator
+
+    data_dir, out_dir = toy_run
+    tr = Translator.from_run(out_dir, data_dir=data_dir)
+    bs = 4
+    lines = [f"w1 w2 w{1 + i % 5} w{1 + (i * 3) % 7}"[: 3 + 4 * (i % 3)]
+             for i in range(11)]
+
+    chunked = tr.translate(lines, batch_size=bs, streaming=False)
+    pooled = tr.translate(lines, batch_size=bs, streaming=True)
+    assert pooled == chunked
+    # warmup's streaming_chunks drives the pooled shape family too
+    n = tr.warmup(batch_size=bs, streaming_chunks=(2,))
+    assert n == 2 * len(tr.cfg.data.length_buckets)
+    assert tr.translate(lines[: 2 * bs], batch_size=bs,
+                        streaming=True) == chunked[: 2 * bs]

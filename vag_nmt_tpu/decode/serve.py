@@ -120,7 +120,8 @@ class Translator:
                 else self.cfg.decode.decode_batch_size)
 
     def warmup(self, batch_size: Optional[int] = None,
-               beam_size: Optional[int] = None) -> int:
+               beam_size: Optional[int] = None,
+               streaming_chunks: Sequence[int] = ()) -> int:
         """Pre-compile the fused decode program for every source-length
         bucket shape at the serving batch size. Returns the number of
         bucket shapes driven.
@@ -140,22 +141,44 @@ class Translator:
         recompiled at request time despite warmup). Token ids are
         irrelevant to the compile key, so dummy <unk> rows suffice; one
         example per bucket is enough because the chunk shape depends on
-        batch_size, not on the request count."""
+        batch_size, not on the request count.
+
+        streaming_chunks: additionally pre-compile the streaming-refill
+        pooled program (translate(streaming=True)) for pools of q
+        decode-chunks, q in this sequence, at every bucket — the pooled
+        program's shape family is (pool chunks, batch_size, bucket), so a
+        server that quantizes its drains to these chunk counts never
+        compiles at request time."""
         from vag_nmt_tpu.data.batching import Example
         from vag_nmt_tpu.decode.translate import translate_corpus
 
         m = self.cfg.model
         img = (np.zeros((m.img_feat_dim,), np.float32)
                if m.multimodal else None)
+        bs = self._batch_size(batch_size)
         n = 0
         for b in self.cfg.data.length_buckets:
-            ex = Example(src=[UNK_ID] * min(b, self.cfg.data.max_src_len),
-                         img=img, index=0)
+            src = [UNK_ID] * min(b, self.cfg.data.max_src_len)
+            ex = Example(src=src, img=img, index=0)
             translate_corpus(self.params, self.cfg, [ex], self.tgt_vocab,
-                             beam_size=beam_size,
-                             batch_size=self._batch_size(batch_size))
+                             beam_size=beam_size, batch_size=bs)
             n += 1
+            for q in streaming_chunks:
+                exs = [Example(src=src, img=img, index=i)
+                       for i in range(q * bs)]
+                translate_corpus(self.params, self._streaming_cfg(), exs,
+                                 self.tgt_vocab, beam_size=beam_size,
+                                 batch_size=bs)
+                n += 1
         return n
+
+    def _streaming_cfg(self):
+        """Config variant that forces the streaming-refill pooled decode
+        (cached: Config is frozen, and translate's program cache is keyed
+        by config identity)."""
+        if getattr(self, "_stream_cfg", None) is None:
+            self._stream_cfg = self.cfg.replace(decode=dict(streaming="on"))
+        return self._stream_cfg
 
     def _encode_line(self, line: str) -> List[int]:
         if self._moses_tok is not None:
@@ -180,6 +203,7 @@ class Translator:
         display: bool = False,
         batch_size: Optional[int] = None,
         bulk: bool = False,
+        streaming: Optional[bool] = None,
     ) -> List[str]:
         """Returns tokenized hypothesis lines (the scoring convention).
         display=True additionally detruecases sentence-initial casing and
@@ -194,7 +218,19 @@ class Translator:
         single-dispatch program — fastest for large offline jobs (one
         dispatch per request instead of one per chunk: each dispatch costs
         ~30 ms on a tunneled chip, ~tens of us locally) but compiles a new
-        program for every unseen request shape."""
+        program for every unseen request shape.
+
+        streaming: decode multi-chunk requests with the streaming-refill
+        pooled program instead of the host-side chunk loop — ONE dispatch
+        whose working set of `batch_size` rows refills from the request
+        pool as rows finish (decode/beam.beam_search_streaming — its
+        design regime: online batches whose per-row service times are
+        heterogeneous). None (default) follows cfg.decode.streaming
+        ("on" enables); hypotheses are identical either way (exact
+        architecture, parity-tested). Warm the pooled shapes via
+        warmup(streaming_chunks=...). Requires beam_size > 1; single-chunk
+        requests fall back to the plain program (a pool the size of the
+        working set cannot refill)."""
         from vag_nmt_tpu.data.batching import Example
         from vag_nmt_tpu.decode.translate import translate_corpus
 
@@ -219,7 +255,15 @@ class Translator:
             ids = self._encode_line(ln) or [UNK_ID]  # <unk> for empty input
             exs.append(Example(src=ids, img=img, index=i))
         bs = self._batch_size(batch_size)
-        if bulk or len(exs) <= bs:
+        if streaming is None:
+            streaming = self.cfg.decode.streaming == "on"
+        k = (beam_size if beam_size is not None
+             else self.cfg.decode.beam_size)
+        if streaming and len(exs) > bs and k > 1:
+            hyps, _ = translate_corpus(self.params, self._streaming_cfg(),
+                                       exs, self.tgt_vocab,
+                                       beam_size=beam_size, batch_size=bs)
+        elif bulk or len(exs) <= bs:
             hyps, _ = translate_corpus(self.params, self.cfg, exs,
                                        self.tgt_vocab, beam_size=beam_size,
                                        batch_size=bs)

@@ -48,7 +48,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 from jax.sharding import PartitionSpec as P
 
-from vag_nmt_tpu.ops.pallas_gru import _SHARD_MESH, _gates, _pick_kt
+from vag_nmt_tpu.ops.pallas_gru import (_SHARD_MESH, _pick_kt,
+                                         gru_gate_algebra)
 from vag_nmt_tpu.ops.pallas_topk import _interpret
 
 NEG_INF = -1e9  # same constant as ops/attention.masked_softmax
@@ -184,7 +185,7 @@ def _fwd_kernel(ty_ref, xg_ref, s0_ref, ctx_ref, ctxp_ref, mask_ref,
     for j in range(kt):                                   # static unroll
         hg1 = jnp.dot(s.astype(cdt), uh1,
                       preferred_element_type=jnp.float32) + bh1
-        _, _, _, s_til = _gates(xg_ref[j].astype(jnp.float32), hg1, s)
+        _, _, _, s_til = gru_gate_algebra(xg_ref[j].astype(jnp.float32), hg1, s)
         q = jnp.dot(s_til.astype(cdt), ua,
                     preferred_element_type=jnp.float32)
         c, _, _ = _attend(ctxp, ctx, mask, q, va)
@@ -192,7 +193,7 @@ def _fwd_kernel(ty_ref, xg_ref, s0_ref, ctx_ref, ctxp_ref, mask_ref,
                       preferred_element_type=jnp.float32) + bi2
         hg2 = jnp.dot(s_til.astype(cdt), uh2,
                       preferred_element_type=jnp.float32) + bh2
-        _, _, _, s_new = _gates(xg2, hg2, s_til)
+        _, _, _, s_new = gru_gate_algebra(xg2, hg2, s_til)
         t = jnp.tanh(
             ty_ref[j]
             + jnp.dot(s_new.astype(cdt), ws,
@@ -349,7 +350,7 @@ def _bwd_kernel(ty_ref, xg_ref, s0_ref, ctx_ref, ctxp_ref, mask_ref,
         xg1 = xg_ref[j].astype(jnp.float32)
         hg1 = jnp.dot(s_prev.astype(cdt), uh1,
                       preferred_element_type=jnp.float32) + bh1
-        r1, z1, n1, s_til = _gates(xg1, hg1, s_prev)
+        r1, z1, n1, s_til = gru_gate_algebra(xg1, hg1, s_prev)
         q = jnp.dot(s_til.astype(cdt), ua,
                     preferred_element_type=jnp.float32)
         c, w, e = _attend(ctxp, ctx, mask, q, va)
@@ -357,7 +358,7 @@ def _bwd_kernel(ty_ref, xg_ref, s0_ref, ctx_ref, ctxp_ref, mask_ref,
                       preferred_element_type=jnp.float32) + bi2
         hg2 = jnp.dot(s_til.astype(cdt), uh2,
                       preferred_element_type=jnp.float32) + bh2
-        r2, z2, n2, _ = _gates(xg2, hg2, s_til)
+        r2, z2, n2, _ = gru_gate_algebra(xg2, hg2, s_til)
         t = jnp.tanh(
             ty_ref[j]
             + jnp.dot(s_new.astype(cdt), ws,

@@ -46,7 +46,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from jax.sharding import PartitionSpec as P
 
-from vag_nmt_tpu.ops.pallas_gru import _SHARD_MESH, _gates
+from vag_nmt_tpu.ops.pallas_gru import _SHARD_MESH, gru_gate_algebra
 from vag_nmt_tpu.ops.pallas_topk import _interpret
 
 NEG_INF = -1e9  # ops/attention.masked_softmax's constant
@@ -97,9 +97,9 @@ def dec_step_shapes_supported(H: int, A: int, C: int, R: int,
 
 
 def _gru_gates(xg, hg, h):
-    """pallas_gru._gates algebra (f32 gate math), state dtype preserved
+    """pallas_gru.gru_gate_algebra (f32 gate math), state dtype preserved
     (the decode loop carries bf16 states under bf16 compute)."""
-    _, _, _, h_new = _gates(xg, hg, h.astype(jnp.float32))
+    _, _, _, h_new = gru_gate_algebra(xg, hg, h.astype(jnp.float32))
     return h_new.astype(h.dtype)
 
 

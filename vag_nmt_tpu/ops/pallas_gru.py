@@ -86,7 +86,13 @@ def _pick_kt(T: int) -> int:
                                                            else 1))
 
 
-def _gates(xg, hg, h):
+def gru_gate_algebra(xg, hg, h):
+    """The GRU gate nonlinearity on precomputed gate pre-activations,
+    returning the intermediates (r, z, n, h_new) the backward kernel needs.
+
+    PUBLIC shared helper: ops/pallas_dec_step.py reuses this exact f32
+    algebra so the fused decode-step kernel can never drift from the
+    training kernel's gate math (ADVICE r4)."""
     H = h.shape[-1]
     r = jax.nn.sigmoid(xg[:, :H] + hg[:, :H])
     z = jax.nn.sigmoid(xg[:, H:2 * H] + hg[:, H:2 * H])
@@ -126,7 +132,7 @@ def _fwd_kernel(xg_ref, mask_ref, uh_ref, bh_ref, h0_ref, out_ref, h_scr,
     for j in steps:                      # static unroll
         hg = jnp.dot(h.astype(cdt), uh,
                      preferred_element_type=jnp.float32) + bh
-        _, _, _, h_new = _gates(xg_ref[j].astype(jnp.float32), hg, h)
+        _, _, _, h_new = gru_gate_algebra(xg_ref[j].astype(jnp.float32), hg, h)
         m = mask_ref[j][:, :1]
         h = jnp.where(m > 0, h_new, h)
         out_ref[j] = h.astype(out_ref.dtype)
@@ -214,7 +220,7 @@ def _bwd_kernel(xg_ref, mask_ref, uh_ref, bh_ref, h0_ref, hsblk_ref,
         xg = xg_ref[j].astype(jnp.float32)
         hg = jnp.dot(h_prev.astype(cdt), uh_c,
                      preferred_element_type=jnp.float32) + bh
-        r, z, n, _ = _gates(xg, hg, h_prev)
+        r, z, n, _ = gru_gate_algebra(xg, hg, h_prev)
 
         dh = dh + g_ref[j].astype(jnp.float32)
         m = mask_ref[j][:, :1]
