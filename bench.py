@@ -333,14 +333,14 @@ def main() -> None:
     from vag_nmt_tpu.train.step import make_train_step
 
     cfg = preset(os.environ.get("VAG_BENCH_PRESET", "m30k_ende_vag"))
-    # decode_batch_size=128 measured best on v5e: chunks exit their beam
-    # while_loop at the chunk's own max hypothesis length, and smaller
-    # (length-sorted) chunks finish sooner; below 128 per-chunk fixed cost
-    # dominates (128: ~12.5k, 256: ~9.9k, 64: ~10.4k sent/s).
-    # beam_unroll stays 1: U=4 won on the pre-packed-IO kernel (-43us/step)
-    # but LOSES with the slots-3 watermark kernel in the loop (348 vs 243 ms
-    # at 640 steps — the unrolled body's 4 cond+kernel pairs schedule worse
-    # than 4 separate iterations; /tmp combo A/B 2026-08-17).
+    # decode_batch_size=128 and beam_unroll=1 re-confirmed under the
+    # round-4 depth-K kernel (r5 sweep, decode_knob_sweep.py, U x chunk
+    # cross grid {1,2,4} x {48,64,96,128}, interleaved legs, medians):
+    # chunk 64 (21.5k) and 128 (21.4k at U1, 21.8k at U2) are a
+    # statistical tie (ranges overlap ~2k wide), 48 (20.7k) and 96
+    # (19.9k) lose; U=2 is noise-level everywhere (+-2%, sign flips by
+    # chunk) and U=4 consistently loses 3-7%. Full table in
+    # docs/usage.md.
     # VAG_BENCH_DTYPE=float32 A/Bs the whole pipeline's compute dtype (the
     # decode-step microbench found the XLA step FASTER under fp32 params at
     # latency-bound shapes — dec_step_bench.py side finding, round 4).
