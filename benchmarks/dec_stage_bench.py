@@ -114,9 +114,10 @@ def main():
 
             def upto_attn(params, tables, ctx, ctxp, mask, tok, s):
                 gy, s_til, qh = upto_qh(params, tables, tok, s)
+                # f32 q, exactly as the production tabled path passes it
                 c, w = bahdanau_attend_beams_q(
-                    params["attn"], qh[:, :A].astype(ctx.dtype)
-                    .reshape(B, K, A), ctx, ctxp, mask)
+                    params["attn"], qh[:, :A].reshape(B, K, A),
+                    ctx, ctxp, mask)
                 return gy, s_til, qh, c.reshape(B * K, C)
 
             def stage_attn(params, tables, ctx, ctxp, mask, tok, s):

@@ -87,9 +87,30 @@ def bahdanau_attend_beams_q(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """`bahdanau_attend_beams` with the query projection already applied —
     the decode fast path fuses `query @ ua` column-wise into the GRU2
-    hidden-gate matmul (same input rows), so attention receives q directly."""
-    e = jnp.tanh(ctx_proj[:, None, :, :] + q[:, :, None, :] + params["ba"])
-    scores = jnp.einsum("bkta,a->bkt", e, params["va"])
+    hidden-gate matmul (same input rows), so attention receives q directly.
+
+    The (B, K, T, A) energy broadcast is the decode step's single largest
+    term (~51 of ~97 us mid-section at T=32, r5 stage attribution,
+    benchmarks/dec_stage_bench.py). Under bf16 compute the broadcast is
+    evaluated in bf16 (the declared compute-dtype regime; score
+    accumulation over A stays f32 via the einsum's preferred type), which
+    halves its HBM footprint; VAG_ATTN_E_DTYPE=fp32 forces the f32
+    broadcast for A/B runs and as the numerics oracle (part of
+    translate's program-cache env fingerprint)."""
+    import os
+
+    if (ctx.dtype == jnp.bfloat16
+            and os.environ.get("VAG_ATTN_E_DTYPE", "") != "fp32"):
+        e = jnp.tanh(ctx_proj.astype(jnp.bfloat16)[:, None, :, :]
+                     + q.astype(jnp.bfloat16)[:, :, None, :]
+                     + params["ba"].astype(jnp.bfloat16))
+        scores = jnp.einsum("bkta,a->bkt", e,
+                            params["va"].astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32)
+    else:
+        e = jnp.tanh(ctx_proj[:, None, :, :] + q[:, :, None, :]
+                     + params["ba"])
+        scores = jnp.einsum("bkta,a->bkt", e, params["va"])
     w = masked_softmax(scores, mask[:, None, :])
     c = jnp.einsum("bkt,btc->bkc", w.astype(ctx.dtype), ctx)
     return c, w
