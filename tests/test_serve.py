@@ -146,7 +146,7 @@ def test_translate_chunked_matches_bulk_and_hits_warmed_shapes(toy_run):
     lines = [f"w1 w2 w{1 + i % 5}" for i in range(11)]  # 11 > 2 full chunks
 
     bulk = tr.translate(lines, bulk=True, batch_size=bs)
-    chunked = tr.translate(lines, batch_size=bs)
+    chunked = tr.translate(lines, batch_size=bs, streaming=False)
     assert chunked == bulk
     assert len(chunked) == len(lines)
 
@@ -172,7 +172,7 @@ def test_translate_chunked_matches_bulk_and_hits_warmed_shapes(toy_run):
     old = tr_mod.make_fused_corpus_fn
     tr_mod.make_fused_corpus_fn = spy
     try:
-        out = tr.translate(lines, batch_size=bs)
+        out = tr.translate(lines, batch_size=bs, streaming=False)
     finally:
         tr_mod.make_fused_corpus_fn = old
     assert out == bulk

@@ -225,12 +225,17 @@ class Translator:
         whose working set of `batch_size` rows refills from the request
         pool as rows finish (decode/beam.beam_search_streaming — its
         design regime: online batches whose per-row service times are
-        heterogeneous). None (default) follows cfg.decode.streaming
-        ("on" enables); hypotheses are identical either way (exact
+        heterogeneous). Default (None): ON unless cfg.decode.streaming
+        == "off" — measurement-backed (r5 arrival-process A/B,
+        benchmarks/serve_latency_bench.py --arrival: at saturating
+        Poisson load the pooled program sustained 1,737 sent/s at p50
+        89 ms / p99 130 ms where the chunk loop did 557 sent/s at
+        second-scale latency; sub-saturation legs were equal within
+        queueing noise). Hypotheses are identical either way (exact
         architecture, parity-tested). Warm the pooled shapes via
-        warmup(streaming_chunks=...). Requires beam_size > 1; single-chunk
-        requests fall back to the plain program (a pool the size of the
-        working set cannot refill)."""
+        warmup(streaming_chunks=...). Requires beam_size > 1;
+        single-chunk requests fall back to the plain program (a pool the
+        size of the working set cannot refill)."""
         from vag_nmt_tpu.data.batching import Example
         from vag_nmt_tpu.decode.translate import translate_corpus
 
@@ -256,7 +261,7 @@ class Translator:
             exs.append(Example(src=ids, img=img, index=i))
         bs = self._batch_size(batch_size)
         if streaming is None:
-            streaming = self.cfg.decode.streaming == "on"
+            streaming = self.cfg.decode.streaming != "off"
         k = (beam_size if beam_size is not None
              else self.cfg.decode.beam_size)
         if streaming and len(exs) > bs and k > 1:
