@@ -59,7 +59,11 @@ def main():
     rows = []
     legs = []
     for name, B, T, Tt in LADDER:
-        R = args.reps if T <= 32 else max(8, args.reps // 4)
+        # Chain length targets >= ~400 ms of device time per dispatch: at
+        # ~1.5 ms/step a 32-step chain is ~45 ms, SMALLER than the
+        # tunnel's one-sided jitter, and the reps-delta can go negative
+        # (measured). Short-T presets chain 8x more steps.
+        R = args.reps * 8 if T <= 32 else max(8, args.reps // 2)
         cfg = preset(name).replace(
             model=dict(compute_dtype=args.dtype),
             data=dict(batch_size=B))
