@@ -204,3 +204,7 @@ def test_translate_streaming_pool_matches_chunked(toy_run):
     assert n == 2 * len(tr.cfg.data.length_buckets)
     assert tr.translate(lines[: 2 * bs], batch_size=bs,
                         streaming=True) == chunked[: 2 * bs]
+    # pool_chunks slicing: an 11-line request at pool_chunks=2 decodes as
+    # one 8-row pooled slice + one 3-row plain tail — same hypotheses
+    assert tr.translate(lines, batch_size=bs, streaming=True,
+                        pool_chunks=2) == chunked

@@ -204,6 +204,7 @@ class Translator:
         batch_size: Optional[int] = None,
         bulk: bool = False,
         streaming: Optional[bool] = None,
+        pool_chunks: int = 8,
     ) -> List[str]:
         """Returns tokenized hypothesis lines (the scoring convention).
         display=True additionally detruecases sentence-initial casing and
@@ -235,7 +236,15 @@ class Translator:
         architecture, parity-tested). Warm the pooled shapes via
         warmup(streaming_chunks=...). Requires beam_size > 1;
         single-chunk requests fall back to the plain program (a pool the
-        size of the working set cannot refill)."""
+        size of the working set cannot refill).
+
+        pool_chunks bounds one pooled dispatch to pool_chunks x
+        batch_size rows; longer requests decode in pool-sized slices so
+        the compiled shape family stays CLOSED (at most the full-slice
+        shape + one tail shape per request size) instead of one giant
+        program per request size — a 10k-line file costs <= 2 compiles,
+        and a server that quantizes drains to warmed chunk counts never
+        compiles at request time."""
         from vag_nmt_tpu.data.batching import Example
         from vag_nmt_tpu.decode.translate import translate_corpus
 
@@ -265,9 +274,17 @@ class Translator:
         k = (beam_size if beam_size is not None
              else self.cfg.decode.beam_size)
         if streaming and len(exs) > bs and k > 1:
-            hyps, _ = translate_corpus(self.params, self._streaming_cfg(),
-                                       exs, self.tgt_vocab,
-                                       beam_size=beam_size, batch_size=bs)
+            scfg = self._streaming_cfg()
+            pr = max(2, pool_chunks) * bs
+            hyps = []
+            for lo in range(0, len(exs), pr):
+                sl = exs[lo:lo + pr]
+                # a tail of <= one chunk cannot refill; plain program
+                cfg_sl = scfg if len(sl) > bs else self.cfg
+                h, _ = translate_corpus(self.params, cfg_sl, sl,
+                                        self.tgt_vocab,
+                                        beam_size=beam_size, batch_size=bs)
+                hyps.extend(h)
         elif bulk or len(exs) <= bs:
             hyps, _ = translate_corpus(self.params, self.cfg, exs,
                                        self.tgt_vocab, beam_size=beam_size,
