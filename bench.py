@@ -82,7 +82,8 @@ _T0 = time.monotonic()
 _DEFAULTS = (N_SENT == 4096 and TRAIN_STEPS_MAX == 1500 and TIMED_RUNS == 3
              and "VAG_BENCH_CHUNK" not in os.environ
              and "VAG_BENCH_MAXLEN" not in os.environ
-             and "VAG_BENCH_PRESET" not in os.environ)
+             and "VAG_BENCH_PRESET" not in os.environ
+             and "VAG_BENCH_DECODE_DTYPE" not in os.environ)
 
 
 def _remaining() -> float:
@@ -341,16 +342,21 @@ def main() -> None:
     # (19.9k) lose; U=2 is noise-level everywhere (+-2%, sign flips by
     # chunk) and U=4 consistently loses 3-7%. Full table in
     # docs/usage.md.
-    # VAG_BENCH_DTYPE=float32 A/Bs the whole pipeline's compute dtype (the
-    # decode-step microbench found the XLA step FASTER under fp32 params at
-    # latency-bound shapes — dec_step_bench.py side finding, round 4).
+    # VAG_BENCH_DTYPE A/Bs the MODEL/train compute dtype (bf16 default —
+    # the Pallas train kernels' win regime). The DECODE side runs fp32 by
+    # default since r5 (decode.compute_dtype, core/config.py): the
+    # same-checkpoint interleaved e2e A/B measured fp32 decode +4.4%
+    # median (19.6k vs 18.8k, 6/7 reps) on the latency-bound loop;
+    # VAG_BENCH_DECODE_DTYPE=bfloat16 restores the bf16 decode leg.
     dtype = os.environ.get("VAG_BENCH_DTYPE", "bfloat16")
     cfg = cfg.replace(
         model=dict(compute_dtype=dtype),
         decode=dict(beam_size=5,
                     max_len=int(os.environ.get("VAG_BENCH_MAXLEN", 64)),
                     decode_batch_size=int(
-                        os.environ.get("VAG_BENCH_CHUNK", 128))),
+                        os.environ.get("VAG_BENCH_CHUNK", 128)),
+                    compute_dtype=os.environ.get(
+                        "VAG_BENCH_DECODE_DTYPE", "float32")),
         data=dict(batch_size=64))
     m = cfg.model
     cfg_key = hashlib.sha256(

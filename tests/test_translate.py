@@ -107,7 +107,10 @@ def test_text_only_fused_matches_bucketed(setup):
 
 def test_bf16_decode_wellformed(setup):
     cfg, params, examples, vocab = setup
-    cfg_bf = cfg.replace(model=dict(compute_dtype="bfloat16"))
+    # decode.compute_dtype must ALSO be bf16: the decode-side default is
+    # fp32 (measured faster on TPU), which would silently un-bf16 this test
+    cfg_bf = cfg.replace(model=dict(compute_dtype="bfloat16"),
+                         decode=dict(compute_dtype="bfloat16"))
     hyps, stats = translate_corpus(params, cfg_bf, examples, vocab)
     assert len(hyps) == len(examples)
     # all output units must be real vocab entries (no pads/specials leaking)

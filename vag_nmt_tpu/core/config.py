@@ -206,6 +206,17 @@ class DecodeConfig:
     # compose with the two-phase decode.
     max_len_factor: float = 0.0
     max_len_offset: int = 0
+    # Decode-side compute dtype override ("" = inherit model.compute_dtype).
+    # Default float32: the decode hot loop is LATENCY-bound (640-row
+    # matmuls), where bf16's per-step dtype conversions cost more than its
+    # bandwidth saves — same-checkpoint interleaved end-to-end A/B on v5e
+    # measured fp32 decode +4.4% median (19.6k vs 18.8k sent/s, 6/7 reps;
+    # r4 dec_step_bench found the same at the microbench level: 73.9 vs
+    # 104.3 us/step at T=32). Training keeps bf16 where it wins (the
+    # 1.60x Pallas dec-scan regime); numerics at fp32 are strictly
+    # tighter. Set "bfloat16" to decode in bf16 (e.g. to A/B, or on
+    # HBM-bound vocab shapes where streaming weights dominate).
+    compute_dtype: str = "float32"
     # Streaming-refill decode (decode/beam.py beam_search_streaming):
     # continuous batching for beam search — one while_loop over a fixed
     # working set that refills finished rows from the corpus pool. Exact

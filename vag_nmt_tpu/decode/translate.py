@@ -792,6 +792,14 @@ def translate_corpus(
     nbest=N>0 returns, per example, a list of up to N (text, score) pairs,
     best first, with length-normalized beam scores (requires beam_size > 1
     and the fused path; N is capped at beam_size)."""
+    # Decode-side compute dtype (core/config.py DecodeConfig.compute_dtype:
+    # fp32 default — measured faster than bf16 on the latency-bound decode
+    # loop). One resolution point: every downstream program builder reads
+    # cfg.model.compute_dtype from this (frozen, hashable) cfg, so the
+    # program caches key correctly.
+    dd = cfg.decode.compute_dtype
+    if dd and dd != cfg.model.compute_dtype:
+        cfg = cfg.replace(model=dict(compute_dtype=dd))
     beam_size = beam_size if beam_size is not None else cfg.decode.beam_size
     max_len = max_len if max_len is not None else cfg.decode.max_len
     batch_size = (batch_size if batch_size is not None
