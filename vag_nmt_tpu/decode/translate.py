@@ -50,7 +50,7 @@ def _env_fingerprint() -> tuple:
         "VAG_READOUT_TOPK", "VAG_TOPK_IMPL", "VAG_FRT_SLOTS",
         "VAG_FRT_DEFER", "VAG_FRT_NOCOND", "VAG_GRU_STREAM",
         "VAG_BEAM_UNROLL", "VAG_BEAM_PRUNE", "VAG_BLOCK_NGRAM",
-        "VAG_ATTN_E_DTYPE",
+        "VAG_ATTN_E_DTYPE", "VAG_FRT_GEMM_DTYPE",
         "VAG_DEC_STEP"))
 
 

@@ -354,6 +354,21 @@ def fused_readout_topk(
     if R != B * K:
         raise ValueError(f"t rows {R} != B*K = {B * K}")
 
+    # VAG_FRT_GEMM_DTYPE=bf16: run the vocab GEMM's operands in bf16 even
+    # when the decode compute dtype is fp32 (mixed mode: fp32 mid-section
+    # + bf16 vocab pipeline). The (E, V) cast is loop-invariant — XLA
+    # hoists it out of the beam while_loop — so the kernel streams half
+    # the table bytes per step; accumulation stays fp32 either way.
+    # MEASURED NEGATIVE at flagship shapes (r5 interleaved e2e A/B under
+    # the fp32-decode default: 22.0k vs 22.6k sent/s median — the kernel
+    # is latency-bound, not table-bandwidth-bound, at V=8000), so the
+    # default stays fp32; kept as the A/B knob for larger-vocab regimes
+    # (part of translate's program-cache env fingerprint).
+    if (os.environ.get("VAG_FRT_GEMM_DTYPE", "") in ("bf16", "bfloat16")
+            and w.dtype == jnp.float32):
+        t = t.astype(jnp.bfloat16)
+        w = w.astype(jnp.bfloat16)
+
     if impl == "auto":
         impl = os.environ.get("VAG_READOUT_TOPK", "")
         if impl not in ("xla", "pallas"):
