@@ -95,12 +95,16 @@ def bahdanau_attend_beams_q(
     evaluated in bf16 (the declared compute-dtype regime; score
     accumulation over A stays f32 via the einsum's preferred type), which
     halves its HBM footprint; VAG_ATTN_E_DTYPE=fp32 forces the f32
-    broadcast for A/B runs and as the numerics oracle (part of
-    translate's program-cache env fingerprint)."""
+    broadcast for A/B runs and as the numerics oracle, and =bf16 forces
+    the bf16 broadcast inside an otherwise-fp32 decode (r5 interleaved
+    e2e: +0.6%, noise-level — the fp32-decode default already absorbed
+    the conversion win, so pure fp32 stays the default there); part of
+    translate's program-cache env fingerprint."""
     import os
 
-    if (ctx.dtype == jnp.bfloat16
-            and os.environ.get("VAG_ATTN_E_DTYPE", "") != "fp32"):
+    env = os.environ.get("VAG_ATTN_E_DTYPE", "")
+    if ((ctx.dtype == jnp.bfloat16 and env != "fp32")
+            or env in ("bf16", "bfloat16")):
         e = jnp.tanh(ctx_proj.astype(jnp.bfloat16)[:, None, :, :]
                      + q.astype(jnp.bfloat16)[:, :, None, :]
                      + params["ba"].astype(jnp.bfloat16))
