@@ -391,3 +391,23 @@ def test_mesh_two_phase_pallas_encoder_matches(setup, monkeypatch):
     h_m, _ = translate_corpus(params, cfg_p, examples, vocab, beam_size=3,
                               mesh=mesh)
     assert h_m == h_1
+
+
+def test_decode_compute_dtype_resolution(setup):
+    """decode.compute_dtype overrides the model dtype for decode programs:
+    a bf16-model config with the fp32 decode default must produce the SAME
+    hypotheses as a plain fp32 config (the decode-side cast is resolved
+    once at translate_corpus entry), while an explicit bf16 decode keeps
+    bf16 numerics (wellformed, but a distinct program)."""
+    cfg, params, examples, vocab = setup
+    sl = examples[:24]
+    base, _ = translate_corpus(params, cfg, sl, vocab)  # fp32 everywhere
+
+    cfg_bf_model = cfg.replace(model=dict(compute_dtype="bfloat16"))
+    # decode.compute_dtype default "float32" wins over the bf16 model dtype
+    h_fp32_decode, _ = translate_corpus(params, cfg_bf_model, sl, vocab)
+    assert h_fp32_decode == base
+
+    cfg_inherit = cfg_bf_model.replace(decode=dict(compute_dtype=""))
+    h_bf16, _ = translate_corpus(params, cfg_inherit, sl, vocab)
+    assert len(h_bf16) == len(sl)  # bf16 program runs; numerics may differ
